@@ -1,0 +1,369 @@
+"""In-jit procedural map generation (single env; vmap for batches).
+
+A fixed-shape, `lax.while_loop` reformulation of the reference's recursive
+generator (reference: src/map.cpp:697-742 with the oracle's erase-by-position
+patch), bit-exact against eldorado_tpu.core.ref_engine.RefMap.generate:
+
+* The recursion (depth <= MAX_FAILURES = 5) becomes an explicit frame stack.
+  Each frame owns a *copy* of the caller's engine state (C++ passes the engine
+  by value), a loop counter, and the ordered set of still-eligible travel
+  pieces as a bitmask (erase-by-position == clear-bit, since the vector is
+  always sorted ascending).
+* A mid-loop placement failure pushes a child frame that regenerates a whole
+  map **on top of the current one** (the reference does not reset in that
+  path); when the child returns, the parent's loop continues with the
+  parent's engine state. An end-piece failure clears the map, then retries.
+* Pushing past depth 5 aborts the whole generation (C++ throws
+  generate_map_failure through every frame): ``ok`` comes back False.
+* Rasterisation order matters: later-placed hexes overwrite earlier ones at
+  truncation-colliding cells (half-integer rows). Implemented as a
+  scatter-max over (slot << 7 | packed-features), which is order-independent
+  and therefore safe under XLA's unordered scatter.
+* Intermediate ``finalize`` calls are skipped: only the final rasterisation
+  is observable (finalize has no effect on generation state).
+
+Geometry is doubled-integer axial (see core/tables.py). All work is int32 on
+a 192x192 occupancy grid (doubled coords observed within [-76, 70] over 3000
+generations incl. 10-piece HARD maps; offset 96 leaves margin). Capacity:
+MAX_PLACED = 16 pieces (12 observed worst case), 16*37 hex slots. Overflow
+sets ``ok`` False rather than corrupting state.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import GRIDSIZE, MAX_N_PLAYERS
+from ..ops import rng as R
+from . import tables as T
+
+# capacities (static)
+MAX_DEPTH = 5            # == MAX_FAILURES
+MAX_PLACED = 16
+HEX_SLOTS = MAX_PLACED * 37
+OCC = 192
+OFF = 96
+
+# pc codes
+_ENTRY, _LOOP, _END, _POP = 0, 1, 2, 3
+# resume codes
+_RES_LOOP_INC, _RES_POP = 0, 1
+
+_i32 = jnp.int32
+_u8 = jnp.uint8
+
+# -- static tables as jnp constants ----------------------------------------
+_ROT = jnp.asarray(T.ROT, _i32)                        # (6,2,2)
+_PIECE_XY = jnp.asarray(T.PIECE_XY, _i32)              # (20,37,2)
+_PIECE_VALID = jnp.asarray(T.PIECE_HEX_VALID)          # (20,37)
+_PIECE_SIZE = jnp.asarray(T.PIECE_SIZE, _i32)
+_PIECE_TYPE = jnp.asarray(T.PIECE_TYPE, _i32)
+_PIECE_HEX = jnp.asarray(T.PIECE_HEX, _i32)            # (20,37,4)
+_CONN_N = jnp.asarray(T.CONN_N, _i32)
+_CONN_COORD = jnp.asarray(T.CONN_COORD, _i32)          # (3,3,3,21,2)
+_CONN_NROT = jnp.asarray(T.CONN_NROT, _i32)
+_CONN_ROT = jnp.asarray(T.CONN_ROT, _i32)              # (3,3,3,21,6)
+
+# eligible travel pieces per difficulty, as bitmasks over indices 0..15
+_DIFF_MASK = jnp.asarray(
+    [sum(1 << i for i in range(T.N_TRAVEL_PIECES)
+         if T.PIECE_DIFFICULTY[T.TRAVEL_PIECE_0 + i] <= d)
+     for d in range(3)], _i32)
+
+
+def _select(pred, a, b):
+    """tree_map where(pred, a, b) with scalar pred broadcast to leaf rank."""
+    def pick(x, y):
+        p = pred if x.ndim == 0 else jnp.reshape(pred, (1,) * x.ndim)
+        return jnp.where(p, x, y)
+    return jax.tree_util.tree_map(pick, a, b)
+
+
+def _rotv(v, times):
+    """Rotate doubled coords by times*60 deg. v: (..., 2); times broadcasts
+    against v's batch dims."""
+    return jnp.einsum("...j,...ij->...i", v, _ROT[times % 6])
+
+
+class MapGenState(NamedTuple):
+    # shared map build state
+    occ: jnp.ndarray           # (OCC, OCC) u8 occupancy
+    entries: jnp.ndarray       # (MAX_PLACED,) i32 piece ids, -1 empty
+    n_entries: jnp.ndarray     # i32
+    hex_xy: jnp.ndarray        # (HEX_SLOTS, 2) i32
+    hex_feat: jnp.ndarray      # (HEX_SLOTS, 3) i32 (req, n_req, is_end)
+    hex_valid: jnp.ndarray     # (HEX_SLOTS,) bool
+    n_hex: jnp.ndarray         # i32 (multiple of 37: fixed stride per piece)
+    min_xy: jnp.ndarray        # (2,) i32
+    max_xy: jnp.ndarray        # (2,) i32
+    piece_rot: jnp.ndarray     # (20,) i32
+    piece_center: jnp.ndarray  # (20,2) i32
+    # control
+    frame_rng: jnp.ndarray     # (MAX_DEPTH,) u32
+    frame_i: jnp.ndarray       # (MAX_DEPTH,) i32
+    frame_valid: jnp.ndarray   # (MAX_DEPTH,) i32 bitmask
+    frame_resume: jnp.ndarray  # (MAX_DEPTH,) i32
+    sp: jnp.ndarray            # i32
+    pc: jnp.ndarray            # i32
+    finished: jnp.ndarray      # bool
+    aborted: jnp.ndarray       # bool
+    overflow: jnp.ndarray      # bool
+
+
+class MapGenOut(NamedTuple):
+    obs: jnp.ndarray          # (48,48,7) u8
+    min_xy: jnp.ndarray       # (2,) i32 doubled
+    player_start_xy: jnp.ndarray  # (MAX_N_PLAYERS, 2) i32 doubled
+    player_start_no: jnp.ndarray  # (MAX_N_PLAYERS,) i32 hex start numbers
+    ok: jnp.ndarray           # bool
+    n_entries: jnp.ndarray    # i32 (diagnostics)
+
+
+def _uid(state: MapGenState, n):
+    """uniform_int(0, n-1) on the current frame's engine."""
+    v, x = R.uniform_int(state.frame_rng[state.sp], n)
+    return v.astype(_i32), state._replace(
+        frame_rng=state.frame_rng.at[state.sp].set(x))
+
+
+def _uid_maybe(state: MapGenState, n, do):
+    v, x = R.uniform_int_maybe(state.frame_rng[state.sp], n, do)
+    return v.astype(_i32), state._replace(
+        frame_rng=state.frame_rng.at[state.sp].set(x))
+
+
+def _add_piece(s: MapGenState, pid, coord, rot) -> MapGenState:
+    """reference: src/map.cpp:309-341 (bounds include the previous bounds)."""
+    rot6 = rot % 6
+    base = _PIECE_XY[pid]                      # (37,2)
+    valid = _PIECE_VALID[pid]                  # (37,)
+    pxy = _rotv(base, rot6) + coord
+    px, py = pxy[:, 0] + OFF, pxy[:, 1] + OFF
+    in_grid = (px >= 0) & (px < OCC) & (py >= 0) & (py < OCC)
+    gx = jnp.clip(px, 0, OCC - 1)
+    gy = jnp.clip(py, 0, OCC - 1)
+    occ = s.occ.at[gx, gy].max((valid & in_grid).astype(_u8))
+    overflow = (s.overflow | jnp.any(valid & ~in_grid)
+                | (s.n_entries >= MAX_PLACED))
+
+    slot = jnp.minimum(s.n_entries, MAX_PLACED - 1)
+    entries = s.entries.at[slot].set(pid)
+    off = jnp.minimum(s.n_hex, HEX_SLOTS - 37)
+    hex_xy = jax.lax.dynamic_update_slice(s.hex_xy, pxy, (off, jnp.int32(0)))
+    hex_feat = jax.lax.dynamic_update_slice(
+        s.hex_feat, _PIECE_HEX[pid, :, :3], (off, jnp.int32(0)))
+    hex_valid = jax.lax.dynamic_update_slice(s.hex_valid, valid, (off,))
+
+    big = jnp.int32(1 << 20)
+    vmin = jnp.min(jnp.where(valid[:, None], pxy, big), axis=0)
+    vmax = jnp.max(jnp.where(valid[:, None], pxy, -big), axis=0)
+    return s._replace(
+        occ=occ, entries=entries, n_entries=s.n_entries + 1,
+        hex_xy=hex_xy, hex_feat=hex_feat, hex_valid=hex_valid,
+        n_hex=jnp.minimum(s.n_hex + 37, HEX_SLOTS),
+        min_xy=jnp.minimum(s.min_xy, vmin), max_xy=jnp.maximum(s.max_xy, vmax),
+        piece_rot=s.piece_rot.at[pid].set(rot6),
+        piece_center=s.piece_center.at[pid].set(coord),
+        overflow=overflow)
+
+
+def _try_add_random(s: MapGenState, pid):
+    """reference: src/map.cpp:277-307. Returns (state, success). Candidate
+    enumeration order is placed-piece-major then connection-entry, matching
+    the reference; the overlap test uses each candidate's first rotation
+    option only."""
+    nsize = _PIECE_SIZE[pid]
+    epid = jnp.where(s.entries >= 0, s.entries, 0)
+    psize = _PIECE_SIZE[epid]                  # (P,)
+    ptype = _PIECE_TYPE[epid]
+    prot = s.piece_rot[epid]
+    pcen = s.piece_center[epid]                # (P,2)
+    nconn = _CONN_N[psize, ptype, nsize]       # (P,)
+    coords = _CONN_COORD[psize, ptype, nsize]  # (P,21,2)
+    nrots = _CONN_NROT[psize, ptype, nsize]    # (P,21)
+    rots = _CONN_ROT[psize, ptype, nsize]      # (P,21,6)
+
+    coords = _rotv(coords, prot[:, None]) + pcen[:, None, :]
+    rots = rots + prot[:, None, None]
+    k_idx = jnp.arange(21)[None, :]
+    live = ((jnp.arange(MAX_PLACED) < s.n_entries)[:, None]
+            & (k_idx < nconn[:, None]))        # (P,21)
+
+    base = _PIECE_XY[pid]                      # (37,2)
+    bvalid = _PIECE_VALID[pid]                 # (37,)
+    fp = _rotv(base[None, None], rots[:, :, 0:1]) + coords[:, :, None, :]
+    gx = jnp.clip(fp[..., 0] + OFF, 0, OCC - 1)
+    gy = jnp.clip(fp[..., 1] + OFF, 0, OCC - 1)
+    hit = (s.occ[gx, gy] > 0) & bvalid[None, None, :]
+    ok = live & ~jnp.any(hit, axis=-1)         # (P,21)
+
+    flat_ok = ok.reshape(-1)
+    n_valid = jnp.sum(flat_ok, dtype=_i32)
+    have = n_valid > 0
+    pos, s = _uid_maybe(s, n_valid, have)
+    csum = jnp.cumsum(flat_ok) - flat_ok       # exclusive prefix counts
+    pick = jnp.argmax(flat_ok & (csum == pos)).astype(_i32)
+    pe, pk = pick // 21, pick % 21
+    coord = coords[pe, pk]
+    r, s = _uid_maybe(s, nrots[pe, pk], have)
+    rot = rots[pe, pk, r]
+    placed = _add_piece(s, pid, coord, rot)
+    return _select(have, placed, s), have
+
+
+def _map_clear(s: MapGenState) -> MapGenState:
+    """Map::reset (src/map.cpp:744-752); piece transforms survive."""
+    return s._replace(
+        occ=jnp.zeros_like(s.occ),
+        entries=jnp.full_like(s.entries, -1),
+        n_entries=jnp.zeros_like(s.n_entries),
+        hex_valid=jnp.zeros_like(s.hex_valid),
+        n_hex=jnp.zeros_like(s.n_hex),
+        min_xy=jnp.zeros_like(s.min_xy),
+        max_xy=jnp.zeros_like(s.max_xy))
+
+
+def _push_child(s: MapGenState, resume) -> MapGenState:
+    """generate(..., failures+1, <engine copy>); depth overflow == the
+    reference's throw (it fires at child entry, before any draw)."""
+    abort = s.sp >= MAX_DEPTH - 1
+    sp1 = jnp.minimum(s.sp + 1, MAX_DEPTH - 1)
+    return s._replace(
+        frame_resume=s.frame_resume.at[s.sp].set(resume),
+        frame_rng=jnp.where(abort, s.frame_rng,
+                            s.frame_rng.at[sp1].set(s.frame_rng[s.sp])),
+        sp=jnp.where(abort, s.sp, sp1),
+        pc=jnp.where(abort, s.pc, _ENTRY),
+        aborted=s.aborted | abort)
+
+
+def generate_map(rng_state, n_pieces, difficulty) -> MapGenOut:
+    """Run the full generator from engine state ``rng_state`` (uint32).
+
+    The engine is consumed by-value (reference: src/environment.cpp:48):
+    callers keep their own stream. ``ok`` is False when the reference would
+    have thrown generate_map_failure (or on capacity overflow, which the
+    parity suite proves never fires on oracle workloads).
+    """
+    s = MapGenState(
+        occ=jnp.zeros((OCC, OCC), _u8),
+        entries=jnp.full((MAX_PLACED,), -1, _i32),
+        n_entries=jnp.int32(0),
+        hex_xy=jnp.zeros((HEX_SLOTS, 2), _i32),
+        hex_feat=jnp.zeros((HEX_SLOTS, 3), _i32),
+        hex_valid=jnp.zeros((HEX_SLOTS,), bool),
+        n_hex=jnp.int32(0),
+        min_xy=jnp.zeros((2,), _i32), max_xy=jnp.zeros((2,), _i32),
+        piece_rot=jnp.zeros((20,), _i32),
+        piece_center=jnp.zeros((20, 2), _i32),
+        frame_rng=jnp.full((MAX_DEPTH,), jnp.asarray(rng_state, jnp.uint32)),
+        frame_i=jnp.zeros((MAX_DEPTH,), _i32),
+        frame_valid=jnp.zeros((MAX_DEPTH,), _i32),
+        frame_resume=jnp.zeros((MAX_DEPTH,), _i32),
+        sp=jnp.int32(0), pc=jnp.int32(_ENTRY),
+        finished=jnp.bool_(False), aborted=jnp.bool_(False),
+        overflow=jnp.bool_(False))
+
+    n_pieces = jnp.asarray(n_pieces, _i32)
+    difficulty = jnp.asarray(difficulty, _i32)
+
+    def on_entry(s: MapGenState) -> MapGenState:
+        start, s = _uid(s, 2)
+        s = _add_piece(s, T.START_PIECE_0 + start, jnp.zeros(2, _i32),
+                       jnp.int32(0))
+        return s._replace(
+            frame_valid=s.frame_valid.at[s.sp].set(_DIFF_MASK[difficulty]),
+            frame_i=s.frame_i.at[s.sp].set(0),
+            pc=jnp.int32(_LOOP))
+
+    def on_loop(s: MapGenState) -> MapGenState:
+        i = s.frame_i[s.sp]
+        at_end = i >= n_pieces
+
+        def loop_body(s: MapGenState) -> MapGenState:
+            valid = s.frame_valid[s.sp]
+            bits = (valid >> jnp.arange(16)) & 1          # (16,)
+            nv = jnp.sum(bits, dtype=_i32)
+            have = nv > 0
+            pos, s = _uid_maybe(s, nv, have)
+            csum = jnp.cumsum(bits) - bits
+            idx = jnp.argmax((bits == 1) & (csum == pos)).astype(_i32)
+            tried, placed = _try_add_random(s, T.TRAVEL_PIECE_0 + idx)
+            s2 = _select(have, tried, s)
+            success = placed & have
+            ok_path = s2._replace(
+                frame_valid=s2.frame_valid.at[s2.sp].set(
+                    valid & ~(jnp.int32(1) << idx)),
+                frame_i=s2.frame_i.at[s2.sp].set(i + 1))
+            fail_path = _push_child(s2, jnp.int32(_RES_LOOP_INC))
+            return _select(success, ok_path, fail_path)
+
+        return jax.lax.cond(at_end,
+                            lambda s: s._replace(pc=jnp.int32(_END)),
+                            loop_body, s)
+
+    def on_end(s: MapGenState) -> MapGenState:
+        e, s = _uid(s, 2)
+        s2, success = _try_add_random(s, T.END_PIECE_0 + e)
+        ok_path = s2._replace(pc=jnp.int32(_POP))
+        fail_path = _push_child(_map_clear(s2), jnp.int32(_RES_POP))
+        return _select(success, ok_path, fail_path)
+
+    def on_pop(s: MapGenState) -> MapGenState:
+        at_root = s.sp == 0
+        sp1 = jnp.maximum(s.sp - 1, 0)
+        resume = s.frame_resume[sp1]
+        popped = s._replace(
+            sp=sp1,
+            frame_i=jnp.where(resume == _RES_LOOP_INC,
+                              s.frame_i.at[sp1].add(1), s.frame_i),
+            pc=jnp.where(resume == _RES_LOOP_INC, jnp.int32(_LOOP),
+                         jnp.int32(_POP)))
+        return _select(at_root, s._replace(finished=jnp.bool_(True)), popped)
+
+    def body(s: MapGenState) -> MapGenState:
+        return jax.lax.switch(s.pc, [on_entry, on_loop, on_end, on_pop], s)
+
+    def cond(s: MapGenState):
+        return ~(s.finished | s.aborted)
+
+    s = jax.lax.while_loop(cond, body, s)
+
+    # final rasterisation (src/map.cpp:389-405): scatter-max over
+    # (slot << 7 | features) gives last-writer-wins per cell.
+    slot = jnp.arange(HEX_SLOTS)
+    live = s.hex_valid & (slot < s.n_hex)
+    ix = ((s.hex_xy[:, 0] - s.min_xy[0]) >> 1) + 1
+    iy = ((s.hex_xy[:, 1] - s.min_xy[1]) >> 1) + 1
+    in_grid = (ix >= 0) & (ix < GRIDSIZE) & (iy >= 0) & (iy < GRIDSIZE)
+    keep = live & in_grid
+    lin = jnp.where(keep, ix * GRIDSIZE + iy, GRIDSIZE * GRIDSIZE)
+    packed = (s.hex_feat[:, 0] | (s.hex_feat[:, 1] << 3)
+              | (s.hex_feat[:, 2] << 6))
+    val = jnp.where(keep, (slot << 7) | packed, -1)
+    canvas = jnp.full((GRIDSIZE * GRIDSIZE + 1,), -1, _i32)
+    canvas = canvas.at[lin].max(val)[: GRIDSIZE * GRIDSIZE]
+    req = canvas & 7
+    n_req = (canvas >> 3) & 7
+    is_end = (canvas >> 6) & 1
+    filled = canvas >= 0
+    ncell = GRIDSIZE * GRIDSIZE
+    cellch = jnp.zeros((ncell, 7), _u8)
+    ch = jnp.where(filled & (req < 5), req + 1, 0)
+    cellch = cellch.at[jnp.arange(ncell), ch].set(
+        jnp.where(filled & (req < 5), n_req, 0).astype(_u8))
+    cellch = cellch.at[:, 6].set(jnp.where(filled, is_end, 0).astype(_u8))
+    obs = cellch.reshape(GRIDSIZE, GRIDSIZE, 7)
+
+    # add_players inputs: the first four hex slots are the start piece's
+    # numbered start hexes (src/map.cpp:343-354); the caller applies the
+    # (0 < start < n_players+1) & (i < n_players) gate.
+    pid0 = jnp.where(s.entries[0] >= 0, s.entries[0], 0)
+    starts = _PIECE_HEX[pid0, :MAX_N_PLAYERS, 3]
+    return MapGenOut(obs=obs, min_xy=s.min_xy,
+                     player_start_xy=s.hex_xy[:MAX_N_PLAYERS],
+                     player_start_no=starts,
+                     ok=~(s.aborted | s.overflow),
+                     n_entries=s.n_entries)

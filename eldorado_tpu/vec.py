@@ -1,0 +1,178 @@
+"""Vectorised environments: vmapped lockstep batch with auto-reset.
+
+The TPU-native replacement for the reference's compile-time-instantiated
+``vec_cog_env<N>`` + pinned-thread ``ThreadedRunner<N>`` (reference:
+include/vec_environment.h, include/runner.h): the env batch is a leading
+axis of the `EnvState` pytree living in device memory, the "thread pool" is
+`jax.vmap`, and work distribution is XLA — there is no N <= 256 cap.
+
+Auto-reset follows vec_cog_env::step_single (include/vec_environment.h:53-61):
+a done env resets immediately with the same parameters (its engine stream is
+*not* reseeded), so post-done observations belong to the new episode while
+rewards/infos hold the finished episode's values.
+
+Two auto-reset strategies, picked by a scalar batch-level branch:
+`jax.lax.cond(jnp.any(done), ...)` keeps the expensive in-jit map generation
+off the hot path on steps where no env finished — on benchmark-style
+workloads (reference asv: 10k steps, max_steps=100000, masked-random play)
+resets never fire after the initial one, so the steady-state step is pure
+game logic.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .core import engine as E
+from .ops import rng as R
+
+__all__ = ["VecEnv", "vec_reset", "vec_step", "vec_sample", "rollout"]
+
+
+def _batch_select(pred, a, b):
+    """Per-env select over batched pytrees; pred: (N,) bool."""
+    def pick(x, y):
+        p = jnp.reshape(pred, pred.shape + (1,) * (x.ndim - 1))
+        return jnp.where(p, x, y)
+    return jax.tree_util.tree_map(pick, a, b)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def vec_reset(seed, n_envs, n_players=4, n_pieces=3, difficulty=0,
+              max_steps=100000):
+    """vec_cog_env::reset(seed, ...): env i is seeded with seed + i
+    (include/vec_environment.h:38-44)."""
+    seeds = jnp.asarray(seed, jnp.uint32) + jnp.arange(n_envs, dtype=jnp.uint32)
+    make = jax.vmap(
+        lambda s: E.make_state(s, n_players, n_pieces, difficulty, max_steps))
+    return jax.vmap(E.reset_env)(make(seeds))
+
+
+_vstep = jax.vmap(E.step_env)
+_vreset = jax.vmap(E.reset_env)
+
+
+@jax.jit
+def vec_step(states, actions):
+    """Step every env; auto-reset finished envs (same params, same engine
+    stream). The reset branch is gated on a scalar `any(done)` so its map
+    generation costs nothing on steps where no episode ends."""
+    states = _vstep(states, actions)
+    done = states.done
+
+    def do_reset(s):
+        return _batch_select(done, _vreset(s), s)
+
+    states = jax.lax.cond(jnp.any(done), do_reset, lambda s: s, states)
+    return states, done
+
+
+@jax.jit
+def vec_sample(rngs, masks):
+    """Batched masked-uniform sampler; sampler i has its own engine
+    (include/vec_sampler.h:7-28 seeds sampler i with seed + i)."""
+    actions, rngs = jax.vmap(E.sample_action)(rngs, masks)
+    return actions, rngs
+
+
+def sampler_init(seed, n_envs):
+    return jax.vmap(R.seed)(
+        jnp.asarray(seed, jnp.uint32) + jnp.arange(n_envs, dtype=jnp.uint32))
+
+
+def _active_mask(states, mask_src: str):
+    if mask_src == "storage":
+        return jnp.take_along_axis(
+            states.storage_masks, states.agent[:, None, None], axis=1)[:, 0]
+    return states.sel_mask
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def rollout(states, sampler_rngs, n_steps: int, mask_src: str = "storage"):
+    """Self-play rollout: n_steps of sample+step+auto-reset under one
+    lax.scan — the jitted equivalent of the reference's
+    runner.sample(); runner.step_sync() driver loop
+    (pytest/test_vec_env.py:97-112). Returns final carry plus per-step
+    (actions, dones, rewards, agents)."""
+    def body(carry, _):
+        s, rngs = carry
+        actions, rngs = jax.vmap(E.sample_action)(rngs, _active_mask(s, mask_src))
+        s = _vstep(s, actions)
+        done = s.done
+        s = jax.lax.cond(jnp.any(done),
+                         lambda x: _batch_select(done, _vreset(x), x),
+                         lambda x: x, s)
+        return (s, rngs), (actions, done, s.rewards, s.agent)
+
+    (states, sampler_rngs), traj = jax.lax.scan(
+        body, (states, sampler_rngs), None, length=n_steps)
+    return states, sampler_rngs, traj
+
+
+class VecEnv:
+    """Thin stateful wrapper mirroring the reference Python API shape
+    (src/pybind/vectorized.cpp): get_vec_env(N)-style usage with
+    zero-copy-equivalent device arrays instead of numpy views."""
+
+    def __init__(self, n_envs: int, mask_src: str = "storage"):
+        self.n_envs = n_envs
+        self.mask_src = mask_src
+        self.states = None
+        self.sampler_rngs = None
+
+    def reset(self, seed=0, n_players=4, n_pieces=3, difficulty=0,
+              max_steps=100000, sampler_seed=42):
+        self.states = vec_reset(seed, self.n_envs, n_players, n_pieces,
+                                difficulty, max_steps)
+        self.sampler_rngs = sampler_init(sampler_seed, self.n_envs)
+        return self.observations
+
+    def step(self, actions):
+        self.states, done = vec_step(self.states, actions)
+        return done
+
+    def sample(self):
+        actions, self.sampler_rngs = vec_sample(
+            self.sampler_rngs, _active_mask(self.states, self.mask_src))
+        return actions
+
+    # -- reference observation surface ------------------------------------
+    @property
+    def observations(self):
+        s = self.states
+        return {
+            "map": s.map_obs, "phase": s.phase,
+            "current_resources": s.resources, "shop": s.shop_stock,
+            "piles": s.piles, "action_masks": s.storage_masks,
+        }
+
+    @property
+    def selected_action_masks(self):
+        return self.states.sel_mask
+
+    @property
+    def agent_selection(self):
+        return self.states.agent
+
+    @property
+    def dones(self):
+        return self.states.done
+
+    @property
+    def rewards(self):
+        return self.states.rewards
+
+    @property
+    def infos(self):
+        s = self.states
+        return {
+            "total_length": s.info_total, "steps_taken": s.info_steps,
+            "returns": s.info_returns, "travelled_hexes": s.info_travelled,
+            "cards_added": s.info_added, "cards_removed": s.info_removed,
+            "n_machete_uses": jnp.zeros_like(s.info_travelled),
+            "n_paddle_uses": jnp.zeros_like(s.info_travelled),
+            "n_coin_uses": jnp.zeros_like(s.info_travelled),
+            "n_card_uses": s.info_card_uses,
+        }
