@@ -9,6 +9,15 @@ src/environment.cpp:91-224). Bit-exact against
 eldorado_tpu.core.ref_engine.RefEnv, which is itself bit-exact against the
 UB-patched reference oracle (see tests/golden).
 
+Performance shape: every data-dependent update is expressed as one-hot
+arithmetic (`where(iota == idx, ...)`) instead of scatter/gather — XLA's
+generic scatter serialises on the TPU's vector core, and the first draft's
+228 scatters per step cost ~28 ms/step; the one-hot form fuses into the
+surrounding elementwise work. The only gathers left are the 48x48x7 map-cell
+lookups. Branch merges go through `_select`, which skips untouched leaves
+(they are the same traced value on both sides), so per-step HBM traffic stays
+at the few-hundred-bytes-per-env the game state actually changes.
+
 Semantics notes (same quirk set as ref_engine — see its module docstring):
 uint8 wraparound everywhere the reference uses u_char; dual mask surfaces
 (selected vs per-player storage); by-value RNG into map generation; rewards /
@@ -16,8 +25,9 @@ info buffers persisting across resets; `played` pile surviving reset.
 
 RNG bounds per step: at most 5 engine draws from a move (discard/remove
 picks, reference src/player.cpp:85-131), or 4 from an end-of-turn redraw, or
-3 from a card special — each implemented as a fixed-trip masked `fori_loop`
-consuming the stream only on live iterations.
+3 from a card special — statically unrolled, consuming the stream only on
+live iterations via the loop-free two-attempt rejection kernel
+(ops/rng.py uniform_int_fast; deviations tracked in ``rng_tainted``).
 """
 from __future__ import annotations
 
@@ -58,8 +68,61 @@ _CARD_SPECIAL = jnp.asarray(T.CARD_SPECIAL, _i32)  # (21,)
 _SHOP_TYPE = jnp.asarray(T.SHOP_CARD_TYPE, _i32)   # (18,)
 _SHOP_COST = jnp.asarray(T.SHOP_COST, _f32)        # (18,)
 _SHOP_MKT0 = jnp.asarray(T.SHOP_STARTS_IN_MARKET)  # (18,)
+# card type -> shop-buyable resource cost table padded to 21 (for one-hot)
 _DIR_DBL = jnp.asarray(
     [(0, 0), (2, 0), (0, 2), (-2, 2), (-2, 0), (0, -2), (2, -2)], _i32)
+
+_IOTA4 = jnp.arange(MAX_N_PLAYERS)
+_IOTA21 = jnp.arange(N_CARDTYPES)
+_IOTA92 = jnp.arange(MASK_LEN)
+_IOTA18 = jnp.arange(N_BUYABLETYPES)
+_IOTA3 = jnp.arange(3)
+
+
+def _oh(i, iota):
+    """Boolean one-hot against a cached iota."""
+    return iota == i
+
+
+def _row(arr2d, p):
+    """arr2d[(4, k)][p] without a gather: masked max (exactly one live row,
+    the rest contribute 0)."""
+    return jnp.max(jnp.where(_oh(p, _IOTA4)[:, None], arr2d,
+                             jnp.zeros_like(arr2d)), axis=0)
+
+
+def _put_row(arr2d, p, row):
+    return jnp.where(_oh(p, _IOTA4)[:, None], row[None, :], arr2d)
+
+
+def _set1(arr, i, val, iota):
+    return jnp.where(_oh(i, iota), val, arr)
+
+
+def _add1(arr, i, delta, iota):
+    """Wrapping add of ``delta`` at position i (dtype of arr)."""
+    return arr + jnp.where(_oh(i, iota), delta,
+                           jnp.zeros((), arr.dtype)).astype(arr.dtype)
+
+
+def _get1(arr, i, iota):
+    return jnp.max(jnp.where(_oh(i, iota), arr, jnp.zeros_like(arr)))
+
+
+_IOTA5 = jnp.arange(5)
+
+
+def _pile_add(piles, row, delta):
+    """piles (4,5,21) u8 += delta (4,21) at static pile row, scatter-free."""
+    rm = (_IOTA5 == row)[None, :, None]
+    return piles + jnp.where(rm, delta[:, None, :], jnp.zeros((), _u8))
+
+
+def _embed(vals, off):
+    """Place a bool head at a static offset in the flat 92-mask."""
+    return jnp.concatenate([
+        jnp.zeros(off, bool), vals,
+        jnp.zeros(MASK_LEN - off - vals.shape[0], bool)])
 
 
 class EnvState(NamedTuple):
@@ -111,23 +174,39 @@ class EnvState(NamedTuple):
     info_added: jnp.ndarray     # (4,) u8
     info_removed: jnp.ndarray   # (4,) u8
     info_card_uses: jnp.ndarray # (4,) i32
+    rng_tainted: jnp.ndarray    # bool: a double rejection ever deviated a draw
 
 
 def _select(pred, a, b):
+    """tree_map where(pred, a, b); leaves untouched by the taken branch are
+    the same tracer object on both sides and skip the select entirely —
+    without this, every branch merge copies the full state (including the
+    16KB/env map observation) and the step becomes HBM-bound."""
     def pick(x, y):
+        if x is y:
+            return x
         p = pred if x.ndim == 0 else jnp.reshape(pred, (1,) * x.ndim)
         return jnp.where(p, x, y)
     return jax.tree_util.tree_map(pick, a, b)
 
 
+_HEAD22 = jnp.zeros(22, bool).at[0].set(True)
+_NULL_MASK = (jnp.zeros(MASK_LEN, bool)
+              .at[PLAY0].set(True).at[SPECIAL0].set(True)
+              .at[REMOVE0].set(True).at[MOVE0].set(True).at[SHOP0].set(True))
+# per-head membership of the flat mask (static constants)
+_IN_PLAY = (_IOTA92 >= PLAY0) & (_IOTA92 < PLAY0 + 22)
+_IN_SPECIAL = (_IOTA92 >= SPECIAL0) & (_IOTA92 < SPECIAL0 + 22)
+_IN_REMOVE = (_IOTA92 >= REMOVE0) & (_IOTA92 < REMOVE0 + 22)
+_IN_MOVE = (_IOTA92 >= MOVE0) & (_IOTA92 < MOVE0 + 7)
+_IN_SHOP = (_IOTA92 >= SHOP0) & (_IOTA92 < SHOP0 + 19)
+
+
 def _mask_reset(m):
     """ActionMask::reset (include/api.h:104-118): play/special/remove heads
     cleared; move/shop heads keep indices 1.. apart from index 0."""
-    head = jnp.zeros(22, bool).at[0].set(True)
-    m = jax.lax.dynamic_update_slice(m, head, (PLAY0,))
-    m = jax.lax.dynamic_update_slice(m, head, (SPECIAL0,))
-    m = jax.lax.dynamic_update_slice(m, head, (REMOVE0,))
-    return m.at[MOVE0].set(True).at[SHOP0].set(True)
+    cleared = _IN_PLAY | _IN_SPECIAL | _IN_REMOVE
+    return jnp.where(cleared, _NULL_MASK, m | _NULL_MASK)
 
 
 def init_mask():
@@ -167,156 +246,203 @@ def make_state(seed=0, n_players=4, n_pieces=3, difficulty=0,
         info_total=jnp.asarray(0, _i32), info_steps=z4u8,
         info_returns=jnp.zeros(4, _f32), info_travelled=jnp.zeros(4, _i32),
         info_added=z4u8, info_removed=z4u8,
-        info_card_uses=jnp.zeros(4, _i32))
+        info_card_uses=jnp.zeros(4, _i32),
+        rng_tainted=jnp.bool_(False))
+
+
+def _sel_card_bits(sel, idx, play_bit, special_bit, remove_bit=None):
+    """Set sel[PLAY0+1+idx], sel[SPECIAL0+1+idx] (and optionally
+    sel[REMOVE0+1+idx]) in one fused pass over the flat mask."""
+    tgt_play = _oh(PLAY0 + 1 + idx, _IOTA92)
+    tgt_special = _oh(SPECIAL0 + 1 + idx, _IOTA92)
+    out = jnp.where(tgt_play, play_bit, sel)
+    out = jnp.where(tgt_special, special_bit, out)
+    if remove_bit is not None:
+        out = jnp.where(_oh(REMOVE0 + 1 + idx, _IOTA92), remove_bit, out)
+    return out
 
 
 # ---------------------------------------------------------------------- deck
 def _deck_draw(s: EnvState, p, n):
     """Deck::draw (src/cards.cpp:183-211): recycle at most once, clamp, then
     up to four uniform picks scanning the draw-pile counts."""
-    piles = s.piles[p]                                 # (5,21)
-    need = s.n_in_draw[p].astype(_i32) < n
-    rec_draw = piles[PILE_DRAW] + piles[PILE_DISCARD]  # u8 wrap
-    rec_nid = s.n_in_draw[p] + jnp.sum(
-        piles[PILE_DISCARD].astype(_i32)).astype(_u8)  # sequential u8 adds
-    draw = jnp.where(need, rec_draw, piles[PILE_DRAW])
-    discard = jnp.where(need, jnp.zeros_like(rec_draw), piles[PILE_DISCARD])
-    nid = jnp.where(need, rec_nid, s.n_in_draw[p])
-    hand = piles[PILE_HAND]
+    oh_p = _oh(p, _IOTA4)
+    piles_p = jnp.max(jnp.where(oh_p[:, None, None], s.piles,
+                                jnp.zeros_like(s.piles)), axis=0)  # (5,21)
+    nid0 = _get1(s.n_in_draw, p, _IOTA4)
+    need = nid0.astype(_i32) < n
+    rec_nid = nid0 + jnp.sum(
+        piles_p[PILE_DISCARD].astype(_i32)).astype(_u8)
+    draw = jnp.where(need, piles_p[PILE_DRAW] + piles_p[PILE_DISCARD],
+                     piles_p[PILE_DRAW])
+    discard = jnp.where(need, jnp.zeros(N_CARDTYPES, _u8),
+                        piles_p[PILE_DISCARD])
+    nid = jnp.where(need, rec_nid, nid0)
+    hand = piles_p[PILE_HAND]
     n_eff = jnp.minimum(n, nid.astype(_i32))
     sel = s.sel_mask
-
-    def body(k, carry):
-        draw, hand, nid, sel, rng = carry
+    rng = s.rng
+    taint = s.rng_tainted
+    one = jnp.asarray(1, _u8)
+    for k in range(HAND_SIZE):  # static unroll: at most 4 draws per call
         live = k < n_eff
-        t, rng = R.uniform_int_maybe(rng, nid.astype(_i32), live)
+        t, rng, tt = R.uniform_int_fast_maybe(rng, nid.astype(_i32), live)
+        taint = taint | tt
         cum = jnp.cumsum(draw.astype(_i32))
         ct = jnp.sum(cum <= t.astype(_i32), dtype=_i32)
         ct = jnp.minimum(ct, N_CARDTYPES - 1)
-        one = jnp.asarray(1, _u8)
-        draw = jnp.where(live, draw.at[ct].add(-one), draw)
-        hand = jnp.where(live, hand.at[ct].add(one), hand)
+        oh_ct = _oh(ct, _IOTA21)
+        dlt = jnp.where(live & oh_ct, one, jnp.zeros((), _u8))
+        draw = draw - dlt
+        hand = hand + dlt
         nid = jnp.where(live, nid - one, nid)
-        sel = jnp.where(live, sel.at[PLAY0 + 1 + ct].set(True), sel)
-        sel = jnp.where(live,
-                        sel.at[SPECIAL0 + 1 + ct].set(_CARD_IS_SPECIAL[ct]),
-                        sel)
-        return draw, hand, nid, sel, rng
-
-    draw, hand, nid, sel, rng = jax.lax.fori_loop(
-        0, HAND_SIZE, body, (draw, hand, nid, sel, s.rng))
-    piles = (piles.at[PILE_DRAW].set(draw).at[PILE_HAND].set(hand)
-             .at[PILE_DISCARD].set(discard))
+        sel = jnp.where(live & _oh(PLAY0 + 1 + ct, _IOTA92), True, sel)
+        sel = jnp.where(live & _oh(SPECIAL0 + 1 + ct, _IOTA92),
+                        _get1(_CARD_IS_SPECIAL, ct, _IOTA21), sel)
+    new_p = jnp.stack([draw, hand, piles_p[PILE_ACTIVE],
+                       piles_p[PILE_PLAYED], discard])
+    piles = jnp.where(oh_p[:, None, None], new_p[None], s.piles)
     return s._replace(
-        piles=s.piles.at[p].set(piles),
-        n_in_draw=s.n_in_draw.at[p].set(nid),
-        n_in_hand=s.n_in_hand.at[p].add(n_eff.astype(_u8)),
-        sel_mask=sel, rng=rng)
+        piles=piles,
+        n_in_draw=jnp.where(oh_p, nid, s.n_in_draw),
+        n_in_hand=s.n_in_hand + jnp.where(oh_p, n_eff.astype(_u8),
+                                          jnp.zeros((), _u8)),
+        sel_mask=sel, rng=rng, rng_tainted=taint)
 
 
 def _activate(s: EnvState, p, idx):
     """Deck::activate (src/cards.cpp:242-253)."""
-    prev = s.piles[p, PILE_HAND, idx]
+    oh_p = _oh(p, _IOTA4)
+    oh_c = _oh(idx, _IOTA21)
+    prev = jnp.max(jnp.where(oh_p[:, None] & oh_c[None, :],
+                             s.piles[:, PILE_HAND], 0))
     one = jnp.asarray(1, _u8)
+    cell = oh_p[:, None] & oh_c[None, :]
+    neg = jnp.where(cell, -one, jnp.zeros((), _u8))
+    pos = jnp.where(cell, one, jnp.zeros((), _u8))
+    piles = _pile_add(_pile_add(s.piles, PILE_HAND, neg), PILE_ACTIVE, pos)
     return s._replace(
-        piles=(s.piles.at[p, PILE_HAND, idx].add(-one)
-               .at[p, PILE_ACTIVE, idx].add(one)),
-        n_in_hand=s.n_in_hand.at[p].add(-one),
-        n_active=s.n_active.at[p].add(one),
-        idx_last=s.idx_last.at[p].set(idx.astype(_u8)),
-        sel_mask=(s.sel_mask.at[PLAY0 + 1 + idx].set(prev > 1)
-                  .at[SPECIAL0 + 1 + idx].set(
-                      (prev > 1) & _CARD_IS_SPECIAL[idx])))
+        piles=piles,
+        n_in_hand=s.n_in_hand - jnp.where(oh_p, one, jnp.zeros((), _u8)),
+        n_active=s.n_active + jnp.where(oh_p, one, jnp.zeros((), _u8)),
+        idx_last=jnp.where(oh_p, idx.astype(_u8), s.idx_last),
+        sel_mask=_sel_card_bits(
+            s.sel_mask, idx, prev > 1,
+            (prev > 1) & _get1(_CARD_IS_SPECIAL, idx, _IOTA21)))
 
 
 def _play_last_activated(s: EnvState, p):
     """src/cards.cpp:255-261."""
-    idx = s.idx_last[p].astype(_i32)
+    idx = _get1(s.idx_last, p, _IOTA4).astype(_i32)
+    oh_p = _oh(p, _IOTA4)
+    oh_c = _oh(idx, _IOTA21)
+    cell = oh_p[:, None] & oh_c[None, :]
     one = jnp.asarray(1, _u8)
-    piles = s.piles.at[p, PILE_ACTIVE, idx].add(-one)
-    piles = jnp.where(_CARD_SINGLE[idx], piles,
-                      piles.at[p, PILE_PLAYED, idx].add(one))
-    return s._replace(piles=piles, n_active=s.n_active.at[p].add(-one))
+    single = _get1(_CARD_SINGLE, idx, _IOTA21)
+    piles = _pile_add(s.piles, PILE_ACTIVE,
+                      jnp.where(cell, -one, jnp.zeros((), _u8)))
+    piles = _pile_add(piles, PILE_PLAYED,
+                      jnp.where(cell & ~single, one, jnp.zeros((), _u8)))
+    return s._replace(
+        piles=piles,
+        n_active=s.n_active - jnp.where(oh_p, one, jnp.zeros((), _u8)))
 
 
 def _play_immediate(s: EnvState, p, idx):
     """src/cards.cpp:263-273."""
-    prev = s.piles[p, PILE_HAND, idx]
+    oh_p = _oh(p, _IOTA4)
+    oh_c = _oh(idx, _IOTA21)
+    cell = oh_p[:, None] & oh_c[None, :]
+    prev = jnp.max(jnp.where(cell, s.piles[:, PILE_HAND], 0))
     one = jnp.asarray(1, _u8)
+    piles = _pile_add(
+        _pile_add(s.piles, PILE_HAND, jnp.where(cell, -one,
+                                                jnp.zeros((), _u8))),
+        PILE_PLAYED, jnp.where(cell, one, jnp.zeros((), _u8)))
     return s._replace(
-        piles=(s.piles.at[p, PILE_HAND, idx].add(-one)
-               .at[p, PILE_PLAYED, idx].add(one)),
-        n_in_hand=s.n_in_hand.at[p].add(-one),
-        sel_mask=(s.sel_mask.at[PLAY0 + 1 + idx].set(prev > 1)
-                  .at[SPECIAL0 + 1 + idx].set(
-                      (prev > 1) & _CARD_IS_SPECIAL[idx])))
+        piles=piles,
+        n_in_hand=s.n_in_hand - jnp.where(oh_p, one, jnp.zeros((), _u8)),
+        sel_mask=_sel_card_bits(
+            s.sel_mask, idx, prev > 1,
+            (prev > 1) & _get1(_CARD_IS_SPECIAL, idx, _IOTA21)))
 
 
 def _remove_immediate(s: EnvState, p, idx):
     """src/cards.cpp:281-290."""
-    prev = s.piles[p, PILE_HAND, idx]
+    oh_p = _oh(p, _IOTA4)
+    oh_c = _oh(idx, _IOTA21)
+    cell = oh_p[:, None] & oh_c[None, :]
+    prev = jnp.max(jnp.where(cell, s.piles[:, PILE_HAND], 0))
     one = jnp.asarray(1, _u8)
-    sel = s.sel_mask
-    play_bit = sel[PLAY0 + 1 + idx] & (prev > 1)
-    sel = (sel.at[REMOVE0 + 1 + idx].set(sel[REMOVE0 + 1 + idx] & (prev > 1))
-           .at[PLAY0 + 1 + idx].set(play_bit)
-           .at[SPECIAL0 + 1 + idx].set(play_bit & _CARD_IS_SPECIAL[idx]))
+    play_bit = _get1(s.sel_mask, PLAY0 + 1 + idx, _IOTA92) & (prev > 1)
+    remove_bit = _get1(s.sel_mask, REMOVE0 + 1 + idx, _IOTA92) & (prev > 1)
     return s._replace(
-        piles=s.piles.at[p, PILE_HAND, idx].add(-one),
-        n_in_hand=s.n_in_hand.at[p].add(-one),
-        sel_mask=sel)
+        piles=_pile_add(s.piles, PILE_HAND,
+                        jnp.where(cell, -one, jnp.zeros((), _u8))),
+        n_in_hand=s.n_in_hand - jnp.where(oh_p, one, jnp.zeros((), _u8)),
+        sel_mask=_sel_card_bits(
+            s.sel_mask, idx, play_bit,
+            play_bit & _get1(_CARD_IS_SPECIAL, idx, _IOTA21),
+            remove_bit=remove_bit))
 
 
 def _pick_actives(s: EnvState, p, n, to_discard):
     """Player::discard_cards / remove_cards (src/player.cpp:85-131): n uniform
     picks over the active counts; remove clamps n to n_active, discard does
     not (unreachable overflow per the mod-256 invariant)."""
-    n_avail = s.n_active[p].astype(_i32)
+    oh_p = _oh(p, _IOTA4)
+    n_avail = _get1(s.n_active, p, _IOTA4).astype(_i32)
     n = jnp.where(to_discard, n, jnp.minimum(n, n_avail))
-    active = s.piles[p, PILE_ACTIVE]
-    discard = s.piles[p, PILE_DISCARD]
-    n_act = s.n_active[p]
-
-    def body(k, carry):
-        active, discard, n_act, rng = carry
+    active = jnp.max(jnp.where(oh_p[:, None], s.piles[:, PILE_ACTIVE],
+                               jnp.zeros_like(s.piles[:, PILE_ACTIVE])), 0)
+    discard = jnp.max(jnp.where(oh_p[:, None], s.piles[:, PILE_DISCARD],
+                                jnp.zeros_like(s.piles[:, PILE_DISCARD])), 0)
+    n_act = _get1(s.n_active, p, _IOTA4)
+    rng = s.rng
+    taint = s.rng_tainted
+    one = jnp.asarray(1, _u8)
+    for k in range(5):  # static unroll: n_required <= 5 picks per call
         live = k < n
-        t, rng = R.uniform_int_maybe(rng, n_avail - k, live)
+        t, rng, tt = R.uniform_int_fast_maybe(rng, n_avail - k, live)
+        taint = taint | tt
         cum = jnp.cumsum(active.astype(_i32))
         ct = jnp.sum(cum <= t.astype(_i32), dtype=_i32)
         ct = jnp.minimum(ct, N_CARDTYPES - 1)
-        one = jnp.asarray(1, _u8)
-        active = jnp.where(live, active.at[ct].add(-one), active)
-        discard = jnp.where(live & to_discard, discard.at[ct].add(one), discard)
+        oh_ct = _oh(ct, _IOTA21)
+        active = active - jnp.where(live & oh_ct, one, jnp.zeros((), _u8))
+        discard = discard + jnp.where(live & to_discard & oh_ct, one,
+                                      jnp.zeros((), _u8))
         n_act = jnp.where(live, n_act - one, n_act)
-        return active, discard, n_act, rng
-
-    active, discard, n_act, rng = jax.lax.fori_loop(
-        0, 5, body, (active, discard, n_act, s.rng))
+    sel_a = jnp.where(oh_p[:, None], active[None], s.piles[:, PILE_ACTIVE])
+    sel_d = jnp.where(oh_p[:, None], discard[None], s.piles[:, PILE_DISCARD])
+    ra = (_IOTA5 == PILE_ACTIVE)[None, :, None]
+    rd = (_IOTA5 == PILE_DISCARD)[None, :, None]
+    piles = jnp.where(ra, sel_a[:, None, :],
+                      jnp.where(rd, sel_d[:, None, :], s.piles))
     return s._replace(
-        piles=(s.piles.at[p, PILE_ACTIVE].set(active)
-               .at[p, PILE_DISCARD].set(discard)),
-        n_active=s.n_active.at[p].set(n_act), rng=rng)
+        piles=piles,
+        n_active=jnp.where(oh_p, n_act, s.n_active),
+        rng=rng, rng_tainted=taint)
 
 
 # --------------------------------------------------------------------- masks
 def _disable_playing(s: EnvState):
     """src/player.cpp:191-196 (selected mask)."""
-    head = jnp.zeros(22, bool).at[0].set(True)
-    sel = jax.lax.dynamic_update_slice(s.sel_mask, head, (PLAY0,))
-    sel = jax.lax.dynamic_update_slice(sel, head, (SPECIAL0,))
-    return s._replace(sel_mask=sel)
+    cleared = _IN_PLAY | _IN_SPECIAL
+    return s._replace(
+        sel_mask=jnp.where(cleared, _NULL_MASK, s.sel_mask))
 
 
 def _enable_playing(s: EnvState, p):
     """src/player.cpp:198-206 (selected mask)."""
-    hand = s.piles[p, PILE_HAND]
+    hand = jnp.max(jnp.where(_oh(p, _IOTA4)[:, None], s.piles[:, PILE_HAND],
+                             jnp.zeros_like(s.piles[:, PILE_HAND])), 0)
     play = hand > 0                                   # (21,)
-    sel = s.sel_mask
-    sel = jax.lax.dynamic_update_slice(
-        sel, jnp.zeros(22, bool).at[0].set(True), (REMOVE0,))
-    sel = jax.lax.dynamic_update_slice(sel, play, (PLAY0 + 1,))
-    sel = jax.lax.dynamic_update_slice(
-        sel, play & _CARD_IS_SPECIAL, (SPECIAL0 + 1,))
+    flat_play = _embed(play, PLAY0 + 1)
+    flat_special = _embed(play & _CARD_IS_SPECIAL, SPECIAL0 + 1)
+    sel = jnp.where(_IN_REMOVE, _NULL_MASK, s.sel_mask)
+    sel = jnp.where(_IN_PLAY & (_IOTA92 != PLAY0), flat_play, sel)
+    sel = jnp.where(_IN_SPECIAL & (_IOTA92 != SPECIAL0), flat_special, sel)
     return s._replace(sel_mask=sel)
 
 
@@ -344,17 +470,20 @@ def _cells(s: EnvState, xy):
     req = jnp.argmax(present, axis=-1)
     has = jnp.any(present, axis=-1)
     req = jnp.where(has, req, 5)
-    n_req = jnp.take_along_axis(reqch, jnp.minimum(req, 4)[..., None],
-                                axis=-1)[..., 0]
-    n_req = jnp.where(has, n_req, 0)
+    # exactly one requirement channel is nonzero per cell, so the masked max
+    # IS that channel's value — no gather needed
+    n_req = jnp.max(jnp.where(present, reqch, 0), axis=-1)
     return req, n_req, cell[..., 6]
 
 
 def _movement_mask(s: EnvState, p, resources, n_active):
     """Map::set_movement_mask -> 6 bools for directions 1..6
     (src/map.cpp:369-387)."""
-    req, n_req, _ = _cells(s, s.player_xy[p][None] + _DIR_DBL[1:])
-    res = resources[jnp.minimum(req, 2)]
+    pxy = jnp.max(jnp.where(_oh(p, _IOTA4)[:, None], s.player_xy,
+                            jnp.full_like(s.player_xy, -(1 << 20))), axis=0)
+    req, n_req, _ = _cells(s, pxy[None] + _DIR_DBL[1:])
+    res = jnp.max(jnp.where(_IOTA3[None, :] == jnp.minimum(req, 2)[:, None],
+                            resources[None, :], 0.0), axis=-1)
     filled = jnp.where(req >= 3, n_active > n_req,
                        res >= n_req.astype(_f32))
     return (req != 5) & filled
@@ -363,49 +492,54 @@ def _movement_mask(s: EnvState, p, resources, n_active):
 def _update_observation(s: EnvState, agent):
     """cog_env::update_observation — storage mask move/shop heads
     (src/environment.cpp:252-279)."""
-    m = s.storage_masks[agent]
-    m = jax.lax.dynamic_update_slice(
-        m, jnp.zeros(7, bool).at[0].set(True), (MOVE0,))
-    m = jax.lax.dynamic_update_slice(
-        m, jnp.zeros(19, bool).at[0].set(True), (SHOP0,))
+    m = jnp.max(jnp.where(_oh(agent, _IOTA4)[:, None], s.storage_masks,
+                          jnp.zeros_like(s.storage_masks)), axis=0)
+    m = jnp.where(_IN_MOVE | _IN_SHOP, _NULL_MASK, m)
     mv = _movement_mask(s, agent, s.resources,
-                        s.n_active[agent].astype(_i32))
-    m = jnp.where(s.phase == TurnPhase.MOVEMENT,
-                  jax.lax.dynamic_update_slice(m, mv, (MOVE0 + 1,)), m)
-    m = jnp.where(s.phase == TurnPhase.BUYING,
-                  jax.lax.dynamic_update_slice(
-                      m, _shop_available(s, s.resources[2]), (SHOP0 + 1,)), m)
-    return s._replace(storage_masks=s.storage_masks.at[agent].set(m))
+                        _get1(s.n_active, agent, _IOTA4).astype(_i32))
+    flat_mv = _embed(mv, MOVE0 + 1)
+    m = jnp.where((s.phase == TurnPhase.MOVEMENT)
+                  & _IN_MOVE & (_IOTA92 != MOVE0), flat_mv, m)
+    flat_shop = _embed(_shop_available(s, s.resources[2]), SHOP0 + 1)
+    m = jnp.where((s.phase == TurnPhase.BUYING)
+                  & _IN_SHOP & (_IOTA92 != SHOP0), flat_shop, m)
+    return s._replace(storage_masks=jnp.where(
+        _oh(agent, _IOTA4)[:, None], m[None], s.storage_masks))
 
 
 # --------------------------------------------------------------------- reset
 def _player_reset(s: EnvState, p):
     """Player::reset (src/player.cpp:29-43); `played` pile survives."""
+    oh_p = _oh(p, _IOTA4)
     z21 = jnp.zeros(N_CARDTYPES, _u8)
     start_discard = (z21.at[CardType.EXPLORER].set(3)
                      .at[CardType.TRAVELER].set(4)
                      .at[CardType.SAILOR].set(1))
-    piles = (s.piles.at[p, PILE_DRAW].set(z21)
-             .at[p, PILE_HAND].set(z21)
-             .at[p, PILE_ACTIVE].set(z21)
-             .at[p, PILE_DISCARD].set(start_discard))
-    z = jnp.asarray(0, _u8)
+    new_p = jnp.stack([z21, z21, z21,
+                       jnp.max(jnp.where(oh_p[:, None],
+                                         s.piles[:, PILE_PLAYED],
+                                         jnp.zeros_like(
+                                             s.piles[:, PILE_PLAYED])), 0),
+                       start_discard])
+    piles = jnp.where(oh_p[:, None, None], new_p[None], s.piles)
+    z = jnp.zeros((), _u8)
     s = s._replace(
-        has_won=s.has_won.at[p].set(False),
-        mip=s.mip.at[p].set(False),
-        next_card_free=s.next_card_free.at[p].set(False),
-        next_move_free=s.next_move_free.at[p].set(False),
-        n_removes=s.n_removes.at[p].set(z),
-        steps_taken=s.steps_taken.at[p].set(z),
-        n_movements=s.n_movements.at[p].set(0),
-        n_added=s.n_added.at[p].set(z),
+        has_won=jnp.where(oh_p, False, s.has_won),
+        mip=jnp.where(oh_p, False, s.mip),
+        next_card_free=jnp.where(oh_p, False, s.next_card_free),
+        next_move_free=jnp.where(oh_p, False, s.next_move_free),
+        n_removes=jnp.where(oh_p, z, s.n_removes),
+        steps_taken=jnp.where(oh_p, z, s.steps_taken),
+        n_movements=jnp.where(oh_p, 0, s.n_movements),
+        n_added=jnp.where(oh_p, z, s.n_added),
         piles=piles,
-        n_in_draw=s.n_in_draw.at[p].set(z),
-        n_in_hand=s.n_in_hand.at[p].set(z),
-        n_active=s.n_active.at[p].set(z),
+        n_in_draw=jnp.where(oh_p, z, s.n_in_draw),
+        n_in_hand=jnp.where(oh_p, z, s.n_in_hand),
+        n_active=jnp.where(oh_p, z, s.n_active),
         sel_mask=_mask_reset(s.sel_mask))
     s = _deck_draw(s, p, jnp.asarray(HAND_SIZE, _i32))
-    return s._replace(storage_masks=s.storage_masks.at[p].set(s.sel_mask))
+    return s._replace(storage_masks=jnp.where(
+        oh_p[:, None], s.sel_mask[None], s.storage_masks))
 
 
 def reset_env(s: EnvState) -> EnvState:
@@ -420,13 +554,12 @@ def reset_env(s: EnvState) -> EnvState:
 
     def pbody(p, s):
         return _select(p < s.n_players, _player_reset(s, p), s)
-    s = jax.lax.fori_loop(0, MAX_N_PLAYERS, pbody, s)
+    s = jax.lax.fori_loop(0, MAX_N_PLAYERS, pbody, s, unroll=True)
 
     # add_players (src/map.cpp:343-354, oracle-patched bounds)
-    i4 = jnp.arange(MAX_N_PLAYERS)
     gate = ((gen.player_start_no > 0)
             & (gen.player_start_no < s.n_players + 1)
-            & (i4 < s.n_players))
+            & (_IOTA4 < s.n_players))
     s = s._replace(player_xy=jnp.where(gate[:, None], gen.player_start_xy, 0))
 
     # Shop::reset (src/cards.cpp:94-100): n_in_market untouched
@@ -435,8 +568,10 @@ def reset_env(s: EnvState) -> EnvState:
 
     def obody(p, s):
         return _select(p < s.n_players, _update_observation(s, p), s)
-    s = jax.lax.fori_loop(0, MAX_N_PLAYERS, obody, s)
-    return s._replace(sel_mask=s.storage_masks[s.agent])
+    s = jax.lax.fori_loop(0, MAX_N_PLAYERS, obody, s, unroll=True)
+    return s._replace(sel_mask=jnp.max(
+        jnp.where(_oh(s.agent, _IOTA4)[:, None], s.storage_masks,
+                  jnp.zeros_like(s.storage_masks)), axis=0))
 
 
 def reset_env_full(s: EnvState, seed, n_players, n_pieces, difficulty,
@@ -453,19 +588,23 @@ def reset_env_full(s: EnvState, seed, n_players, n_pieces, difficulty,
 # ---------------------------------------------------------------------- step
 def _end_turn(s: EnvState, p):
     """Player::end_turn (src/player.cpp:170-180)."""
-    piles = s.piles[p]
-    discard = piles[PILE_DISCARD] + piles[PILE_ACTIVE] + piles[PILE_PLAYED]
-    z21 = jnp.zeros(N_CARDTYPES, _u8)
+    oh_p = _oh(p, _IOTA4)
+    om = oh_p[:, None]
+    actpl = s.piles[:, PILE_ACTIVE] + s.piles[:, PILE_PLAYED]
+    rd = (_IOTA5 == PILE_DISCARD)[None, :, None]
+    rap = ((_IOTA5 == PILE_ACTIVE) | (_IOTA5 == PILE_PLAYED))[None, :, None]
+    piles = s.piles + jnp.where(om[:, :, None] & rd, actpl[:, None, :],
+                                jnp.zeros((), _u8))
+    piles = jnp.where(om[:, :, None] & rap, jnp.zeros((), _u8), piles)
     s = s._replace(
-        piles=(s.piles.at[p, PILE_DISCARD].set(discard)
-               .at[p, PILE_ACTIVE].set(z21)
-               .at[p, PILE_PLAYED].set(z21)),
-        n_active=s.n_active.at[p].set(jnp.asarray(0, _u8)))
-    n_draw = HAND_SIZE - s.n_in_hand[p].astype(_i32)
+        piles=piles,
+        n_active=jnp.where(oh_p, jnp.zeros((), _u8), s.n_active))
+    n_draw = HAND_SIZE - _get1(s.n_in_hand, p, _IOTA4).astype(_i32)
     s = _select(n_draw > 0, _deck_draw(s, p, jnp.maximum(n_draw, 0)), s)
     return s._replace(
         resources=jnp.zeros(3, _f32),
-        storage_masks=s.storage_masks.at[p].set(s.sel_mask))
+        storage_masks=jnp.where(oh_p[:, None], s.sel_mask[None],
+                                s.storage_masks))
 
 
 def _next_agent(s: EnvState) -> EnvState:
@@ -475,7 +614,8 @@ def _next_agent(s: EnvState) -> EnvState:
     nxt = jnp.where(nxt >= s.n_players, 0, nxt)
     return s._replace(
         agent=nxt,
-        sel_mask=s.storage_masks[nxt],
+        sel_mask=jnp.max(jnp.where(_oh(nxt, _IOTA4)[:, None], s.storage_masks,
+                                   jnp.zeros_like(s.storage_masks)), axis=0),
         resources=jnp.zeros(3, _f32),
         turn_counter=s.turn_counter + 1)
 
@@ -484,19 +624,28 @@ def _run_special(s: EnvState, special, p) -> EnvState:
     """Card special actions (src/cards.cpp:8-36) + the shop-disable
     continuation (src/environment.cpp:156-159). Writes the storage mask of
     the current agent; disable_playing acts on the selected mask."""
+    oh_p = _oh(p, _IOTA4)
+
     def storage(s):
-        return s.storage_masks[p]
+        return jnp.max(jnp.where(oh_p[:, None], s.storage_masks,
+                                 jnp.zeros_like(s.storage_masks)), axis=0)
 
     def set_storage(s, m):
-        return s._replace(storage_masks=s.storage_masks.at[p].set(m))
+        return s._replace(storage_masks=jnp.where(
+            oh_p[:, None], m[None], s.storage_masks))
+
+    def shop_flat(s):
+        return _embed(_shop_available(s, jnp.asarray(0.0, _f32)), SHOP0 + 1)
 
     def f_transmit(s):
-        m = jax.lax.dynamic_update_slice(
-            storage(s), jnp.zeros(7, bool).at[0].set(True), (MOVE0,))
-        m = jax.lax.dynamic_update_slice(m, s.shop_stock > 0, (SHOP0 + 1,))
+        m = storage(s)
+        m = jnp.where(_IN_MOVE, _NULL_MASK, m)
+        tm = _embed(s.shop_stock > 0, SHOP0 + 1)
+        m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), tm, m)
         s = set_storage(s, m)
         s = _disable_playing(s)
-        return s._replace(next_card_free=s.next_card_free.at[p].set(True))
+        return s._replace(next_card_free=jnp.where(oh_p, True,
+                                                   s.next_card_free))
 
     def f_draw(s, n):
         return _deck_draw(s, p, jnp.asarray(n, _i32))
@@ -504,28 +653,30 @@ def _run_special(s: EnvState, special, p) -> EnvState:
     def f_draw_remove(s, n):
         s = _deck_draw(s, p, jnp.asarray(n, _i32))
         m = storage(s)
-        play_head = jax.lax.dynamic_slice(m, (PLAY0,), (22,))
-        m = jax.lax.dynamic_update_slice(m, play_head, (REMOVE0,))
-        m = jax.lax.dynamic_update_slice(
-            m, _shop_available(s, jnp.asarray(0.0, _f32)), (SHOP0 + 1,))
+        # remove head := play head (incl. index 0; src/cards.cpp:18)
+        play_as_remove = jnp.roll(m & _IN_PLAY, REMOVE0 - PLAY0)
+        m = jnp.where(_IN_REMOVE, play_as_remove, m)
+        m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), shop_flat(s), m)
         s = set_storage(s, m)
         s = _disable_playing(s)
-        return s._replace(n_removes=s.n_removes.at[p].set(
-            jnp.asarray(n, _u8)))
+        return s._replace(n_removes=jnp.where(oh_p, jnp.asarray(n, _u8),
+                                              s.n_removes))
 
     def f_native(s):
-        mv = _movement_mask(s, p, jnp.full(3, 100.0, _f32), jnp.asarray(100, _i32))
-        m = jax.lax.dynamic_update_slice(storage(s), mv, (MOVE0 + 1,))
-        m = jax.lax.dynamic_update_slice(
-            m, _shop_available(s, jnp.asarray(0.0, _f32)), (SHOP0 + 1,))
+        mv = _movement_mask(s, p, jnp.full(3, 100.0, _f32),
+                            jnp.asarray(100, _i32))
+        flat_mv = _embed(mv, MOVE0 + 1)
+        m = storage(s)
+        m = jnp.where(_IN_MOVE & (_IOTA92 != MOVE0), flat_mv, m)
+        m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), shop_flat(s), m)
         s = set_storage(s, m)
         s = _disable_playing(s)
-        return s._replace(next_move_free=s.next_move_free.at[p].set(True))
+        return s._replace(next_move_free=jnp.where(oh_p, True,
+                                                   s.next_move_free))
 
     def f_shop_disable(s):
-        m = jax.lax.dynamic_update_slice(
-            storage(s), _shop_available(s, jnp.asarray(0.0, _f32)),
-            (SHOP0 + 1,))
+        m = storage(s)
+        m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), shop_flat(s), m)
         return set_storage(s, m)
 
     out = _select(special == T.SPECIAL_TRANSMIT, f_transmit(s), s)
@@ -546,25 +697,29 @@ def step_env(s: EnvState, action) -> EnvState:
     action = jnp.asarray(action, _i32)
     a_play, a_sp, a_rm, a_mv, a_shop = (action[i] for i in range(5))
     p = s.agent
+    oh_p = _oh(p, _IOTA4)
+    one8 = jnp.asarray(1, _u8)
 
     s = s._replace(
-        info_steps=s.info_steps.at[p].add(jnp.asarray(1, _u8)),
+        info_steps=s.info_steps + jnp.where(oh_p, one8, jnp.zeros((), _u8)),
         phase=jnp.where(s.phase == TurnPhase.INACTIVE,
                         jnp.asarray(int(TurnPhase.MOVEMENT), _i32), s.phase),
-        steps_taken=s.steps_taken.at[p].add(jnp.asarray(1, _u8)))
+        steps_taken=s.steps_taken + jnp.where(oh_p, one8,
+                                              jnp.zeros((), _u8)))
 
     b_play = a_play > 0
     b_special = ~b_play & (a_sp > 0)
     b_move = ~b_play & ~b_special & (a_mv > 0)
-    b_else = ~b_play & ~b_special & ~b_move
 
     # ---- play branch (src/environment.cpp:104-108, src/player.cpp:47-69)
     def f_play(s):
         idx = jnp.clip(a_play - 1, 0, N_CARDTYPES - 1)
-        res_mov = _CARD_RES[idx]
-        coin = _CARD_RES[idx, 2]
-        res_buy = s.resources.at[2].add(
-            jnp.where(coin > 0, coin, jnp.asarray(0.5, _f32)))
+        oh_c = _oh(idx, _IOTA21).astype(_f32)
+        res_mov = oh_c @ _CARD_RES
+        coin = res_mov[2]
+        res_buy = s.resources + jnp.where(
+            _IOTA3 == 2, jnp.where(coin > 0, coin, jnp.asarray(0.5, _f32)),
+            0.0)
         res = jnp.where(s.phase == TurnPhase.MOVEMENT, res_mov,
                         jnp.where(s.phase == TurnPhase.BUYING, res_buy,
                                   s.resources))
@@ -573,90 +728,108 @@ def step_env(s: EnvState, action) -> EnvState:
     # ---- play_special branch (src/environment.cpp:110-112)
     def f_special(s):
         idx = jnp.clip(a_sp - 1, 0, N_CARDTYPES - 1)
-        return _select(_CARD_SINGLE[idx], _remove_immediate(s, p, idx),
+        return _select(_get1(_CARD_SINGLE, idx, _IOTA21),
+                       _remove_immediate(s, p, idx),
                        _play_immediate(s, p, idx))
 
     # ---- move branch (src/environment.cpp:115-125)
     def f_move(s):
-        new_xy = s.player_xy[p] + _DIR_DBL[a_mv]
-        s = s._replace(player_xy=s.player_xy.at[p].set(new_xy))
+        old_xy = jnp.max(jnp.where(oh_p[:, None], s.player_xy,
+                                   jnp.full_like(s.player_xy, -(1 << 20))),
+                         axis=0)
+        dxy = jnp.max(jnp.where(_oh(a_mv, jnp.arange(7))[:, None], _DIR_DBL,
+                                jnp.full_like(_DIR_DBL, -(1 << 20))), axis=0)
+        new_xy = old_xy + dxy
+        s = s._replace(player_xy=jnp.where(oh_p[:, None], new_xy[None],
+                                           s.player_xy))
         req, n_req, is_end = _cells(s, new_xy)
-        free = s.next_move_free[p]
+        free = jnp.any(s.next_move_free & oh_p)
 
         def handle_req(s):
             # resource requirement (src/player.cpp:141-150)
             ridx = jnp.minimum(req, 2)
-            left = s.resources[ridx] - n_req.astype(_f32)
-            res = jnp.zeros(3, _f32).at[ridx].set(left)
-            first = ~s.mip[p]
+            oh_r = _oh(ridx, _IOTA3)
+            left = jnp.max(jnp.where(oh_r, s.resources, -jnp.inf)) \
+                - n_req.astype(_f32)
+            res = jnp.where(oh_r, left, 0.0)
+            first = ~jnp.any(s.mip & oh_p)
             with_play = _play_last_activated(s, p)._replace(
-                mip=s.mip.at[p].set(True))
+                mip=s.mip | oh_p)
             res_state = _select(first, with_play, s)._replace(resources=res)
             # REMOVE / DISCARD hexes (src/player.cpp:151-158)
             pick_state = _pick_actives(s, p, n_req.astype(_i32), req == 3)
             pick_state = pick_state._replace(
-                resources=jnp.zeros(3, _f32), mip=s.mip.at[p].set(False))
+                resources=jnp.zeros(3, _f32), mip=s.mip & ~oh_p)
             out = _select(req < 3, res_state, s)
             return _select((req == 3) | (req == 4), pick_state, out)
 
         def free_move(s):
-            s = s._replace(next_move_free=s.next_move_free.at[p].set(False))
+            s = s._replace(next_move_free=s.next_move_free & ~oh_p)
             return _enable_playing(s, p)
 
         s = _select(free, free_move(s), handle_req(s))
         return s._replace(
-            n_movements=s.n_movements.at[p].add(1),
-            has_won=s.has_won.at[p].set(is_end > 0))
+            n_movements=s.n_movements + jnp.where(oh_p, 1, 0),
+            has_won=jnp.where(oh_p, is_end > 0, s.has_won))
 
     # ---- else branch (src/environment.cpp:128-174)
     def f_else(s):
-        s = s._replace(next_move_free=s.next_move_free.at[p].set(False))
+        s = s._replace(next_move_free=s.next_move_free & ~oh_p)
         b_shop = a_shop > 0
         b_remove = ~b_shop & (a_rm > 0)
 
         def f_shop(s):
             i = jnp.clip(a_shop - 1, 0, N_BUYABLETYPES - 1)
-            free = s.next_card_free[p]
+            oh_i = _oh(i, _IOTA18)
+            free = jnp.any(s.next_card_free & oh_p)
+            in_mkt_i = jnp.any(s.in_market & oh_i)
             # buy: reopen slot before get (src/cards.cpp:102-106)
             n_mkt = s.n_in_market + jnp.where(
-                free, 0, 1 - s.in_market[i].astype(_i32)).astype(_u8)
-            in_mkt = jnp.where(free, s.in_market, s.in_market.at[i].set(True))
+                free, 0, 1 - in_mkt_i.astype(_i32)).astype(_u8)
+            in_mkt = jnp.where(free, s.in_market, s.in_market | oh_i)
             # get (src/cards.cpp:136-142)
-            stock = s.shop_stock.at[i].add(-jnp.asarray(1, _u8))
-            close = (stock[i] == 0) & in_mkt[i]
-            in_mkt = jnp.where(close, in_mkt.at[i].set(False), in_mkt)
-            n_mkt = jnp.where(close, n_mkt - jnp.asarray(1, _u8), n_mkt)
-            card = _SHOP_TYPE[i]
+            stock = s.shop_stock - jnp.where(oh_i, one8, jnp.zeros((), _u8))
+            stock_i = jnp.max(jnp.where(oh_i, stock, jnp.zeros((), _u8)))
+            close = (stock_i == 0) & jnp.any(in_mkt & oh_i)
+            in_mkt = jnp.where(close, in_mkt & ~oh_i, in_mkt)
+            n_mkt = jnp.where(close, n_mkt - one8, n_mkt)
+            card = jnp.max(jnp.where(oh_i, _SHOP_TYPE, 0))
+            cost = jnp.max(jnp.where(oh_i, _SHOP_COST, 0.0))
             res = jnp.where(free, s.resources,
-                            s.resources.at[2].add(-_CARD_COST[card]))
+                            s.resources - jnp.where(_IOTA3 == 2, cost, 0.0))
             phase = jnp.where(free, s.phase, (s.phase + 1) % 3)
+            cell = oh_p[:, None] & _oh(card, _IOTA21)[None, :]
             return s._replace(
                 shop_stock=stock, in_market=in_mkt, n_in_market=n_mkt,
                 resources=res, phase=phase,
-                piles=s.piles.at[p, PILE_DISCARD, card].add(
-                    jnp.asarray(1, _u8)),
-                n_added=s.n_added.at[p].add(jnp.asarray(1, _u8)))
+                piles=_pile_add(s.piles, PILE_DISCARD,
+                                jnp.where(cell, one8, jnp.zeros((), _u8))),
+                n_added=s.n_added + jnp.where(oh_p, one8,
+                                              jnp.zeros((), _u8)))
 
         def f_remove(s):
             idx = jnp.clip(a_rm - 1, 0, N_CARDTYPES - 1)
             s = _remove_immediate(s, p, idx)
             s = s._replace(
-                n_removes=s.n_removes.at[p].add(-jnp.asarray(1, _u8)))
-            return _select(s.n_removes[p] == 0, _enable_playing(s, p), s)
+                n_removes=s.n_removes - jnp.where(oh_p, one8,
+                                                  jnp.zeros((), _u8)))
+            rem = _get1(s.n_removes, p, _IOTA4)
+            return _select(rem == 0, _enable_playing(s, p), s)
 
         def f_null(s):
             s = s._replace(phase=(s.phase + 1) % 3)
-            pending = s.n_removes[p].astype(_i32) > 0
+            pending = jnp.any((s.n_removes > 0) & oh_p)
             cleared = _enable_playing(s._replace(
-                n_removes=s.n_removes.at[p].set(jnp.asarray(0, _u8))), p)
+                n_removes=jnp.where(oh_p, jnp.zeros((), _u8),
+                                    s.n_removes)), p)
             return _select(pending, cleared, s)
 
         s = _select(b_shop, f_shop(s),
                     _select(b_remove, f_remove(s), f_null(s)))
         # next_card_free tail (src/environment.cpp:170-173)
-        nc = s.next_card_free[p]
+        nc = jnp.any(s.next_card_free & oh_p)
         freed = _enable_playing(
-            s._replace(next_card_free=s.next_card_free.at[p].set(False)), p)
+            s._replace(next_card_free=s.next_card_free & ~oh_p), p)
         return _select(nc, freed, s)
 
     s = _select(b_play, f_play(s),
@@ -665,30 +838,36 @@ def step_env(s: EnvState, action) -> EnvState:
 
     # pending special id (executed after update_observation)
     special = jnp.where(
-        b_special, _CARD_SPECIAL[jnp.clip(a_sp - 1, 0, N_CARDTYPES - 1)], 0)
+        b_special,
+        _get1(_CARD_SPECIAL, jnp.clip(a_sp - 1, 0, N_CARDTYPES - 1), _IOTA21),
+        0)
     special = jnp.where(
-        b_else & (a_shop == 0) & (a_rm > 0) & (s.n_removes[p] != 0),
+        (~b_play & ~b_special & ~b_move) & (a_shop == 0) & (a_rm > 0)
+        & jnp.any((s.n_removes != 0) & oh_p),
         T.SPECIAL_SHOP_DISABLE, special)
 
     # movement_in_progress teardown (src/environment.cpp:176-179) — gated on
     # the *raw* action.move field, not the dispatched branch: a step that
     # plays a card while also carrying a nonzero move sub-action skips it.
-    tear = s.mip[p] & (a_mv == 0)
-    s = _select(tear, s._replace(mip=s.mip.at[p].set(False),
+    tear = jnp.any(s.mip & oh_p) & (a_mv == 0)
+    s = _select(tear, s._replace(mip=s.mip & ~oh_p,
                                  resources=jnp.zeros(3, _f32)), s)
 
     # maybe_end_turn (src/environment.cpp:244-250)
-    s = _select(s.has_won[p] | (s.phase == TurnPhase.INACTIVE),
+    s = _select(jnp.any(s.has_won & oh_p) | (s.phase == TurnPhase.INACTIVE),
                 _next_agent(s), s)
     s = _update_observation(s, s.agent)
 
     # special function, else done check (src/environment.cpp:183-207)
     s = _select(special > 0, _run_special(s, special, s.agent), s)
-    _, _, on_end = _cells(s, s.player_xy[s.agent])
+    cur_xy = jnp.max(jnp.where(_oh(s.agent, _IOTA4)[:, None], s.player_xy,
+                               jnp.full_like(s.player_xy, -(1 << 20))),
+                     axis=0)
+    _, _, on_end = _cells(s, cur_xy)
     end_now = (special == 0) & ((on_end > 0)
-                               | (s.turn_counter >= s.max_steps))
+                                | (s.turn_counter >= s.max_steps))
     n_winners = jnp.sum(s.has_won.astype(_f32))
-    live = jnp.arange(MAX_N_PLAYERS) < s.n_players
+    live = _IOTA4 < s.n_players
     returns = (s.n_players.astype(_f32) * s.has_won.astype(_f32)
                - n_winners)
     finished = s._replace(
@@ -710,14 +889,18 @@ def step_env(s: EnvState, action) -> EnvState:
 def sample_action(rng, mask):
     """action_sampler::sample (include/sampler.h:14-79): per head, a uniform
     pick over the valid indices (all five heads always contain index 0, so
-    exactly five engine draws are consumed)."""
+    exactly five engine draws are consumed). Returns (action5, rng, tainted)
+    with ``tainted`` flagging the once-per-1e16-draws double-rejection
+    deviation from the exact libstdc++ stream."""
     outs = []
+    tainted = jnp.bool_(False)
     for off, width in ((PLAY0, 22), (SPECIAL0, 22), (REMOVE0, 22),
                        (MOVE0, 7), (SHOP0, 19)):
-        bits = jax.lax.dynamic_slice(mask, (off,), (width,))
+        bits = jax.lax.slice(mask, (off,), (off + width,))
         n = jnp.sum(bits, dtype=_i32)
-        pos, rng = R.uniform_int(rng, jnp.maximum(n, 1))
+        pos, rng, tt = R.uniform_int_fast(rng, jnp.maximum(n, 1))
+        tainted = tainted | tt
         csum = jnp.cumsum(bits) - bits
         val = jnp.argmax(bits & (csum == pos.astype(_i32))).astype(_i32)
         outs.append(jnp.where(n > 0, val, 0))
-    return jnp.stack(outs), rng
+    return jnp.stack(outs), rng, tainted

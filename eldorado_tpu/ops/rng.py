@@ -91,3 +91,35 @@ def uniform_int_maybe(x, uerange, do_draw):
     x_out = jnp.where(do_draw, x_new, x)
     v_out = jnp.where(do_draw, v, jnp.asarray(0, _u32))
     return v_out, x_out
+
+
+def uniform_int_fast(x, uerange):
+    """Loop-free uniform_int: two unrolled rejection attempts.
+
+    The downscaling rejection fires with probability < uerange / 2^31
+    (< 1.1e-8 for every draw this engine makes, uerange <= 256); two
+    consecutive rejections (< 1.2e-16) are beyond any realistic run length.
+    Returns (value, new_state, tainted): ``tainted`` flags the
+    double-rejection case where the value deviates from the exact stream —
+    callers accumulate it so parity claims stay honest.
+    """
+    uerange = jnp.asarray(uerange, _u32)
+    scaling = jnp.asarray(URNG_RANGE, _u32) // uerange
+    past = uerange * scaling
+    x1 = next_u31(x)
+    r1 = x1 - jnp.asarray(1, _u32)
+    ok1 = r1 < past
+    x2 = next_u31(x1)
+    r2 = x2 - jnp.asarray(1, _u32)
+    v = jnp.where(ok1, r1, r2) // scaling
+    x_out = jnp.where(ok1, x1, x2)
+    tainted = ~ok1 & (r2 >= past)
+    return v, x_out, tainted
+
+
+def uniform_int_fast_maybe(x, uerange, do_draw):
+    """uniform_int_fast that leaves the stream untouched when not drawing."""
+    v, x_new, tainted = uniform_int_fast(x, jnp.maximum(uerange, 1))
+    return (jnp.where(do_draw, v, jnp.asarray(0, _u32)),
+            jnp.where(do_draw, x_new, x),
+            do_draw & tainted)

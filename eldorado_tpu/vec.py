@@ -72,9 +72,11 @@ def vec_step(states, actions):
 @jax.jit
 def vec_sample(rngs, masks):
     """Batched masked-uniform sampler; sampler i has its own engine
-    (include/vec_sampler.h:7-28 seeds sampler i with seed + i)."""
-    actions, rngs = jax.vmap(E.sample_action)(rngs, masks)
-    return actions, rngs
+    (include/vec_sampler.h:7-28 seeds sampler i with seed + i). The third
+    output flags the (once-per-1e16-draws) double-rejection deviation from
+    the exact libstdc++ stream."""
+    actions, rngs, tainted = jax.vmap(E.sample_action)(rngs, masks)
+    return actions, rngs, tainted
 
 
 def sampler_init(seed, n_envs):
@@ -89,25 +91,50 @@ def _active_mask(states, mask_src: str):
     return states.sel_mask
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def rollout(states, sampler_rngs, n_steps: int, mask_src: str = "storage"):
-    """Self-play rollout: n_steps of sample+step+auto-reset under one
-    lax.scan — the jitted equivalent of the reference's
-    runner.sample(); runner.step_sync() driver loop
-    (pytest/test_vec_env.py:97-112). Returns final carry plus per-step
-    (actions, dones, rewards, agents)."""
+@jax.jit
+def reset_done(states):
+    """Auto-reset every done env (same params, same engine stream —
+    include/vec_environment.h:53-61)."""
+    return _batch_select(states.done, _vreset(states), states)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def rollout(states, sampler_rngs, n_steps: int, mask_src: str = "storage",
+            auto_reset: str = "chunk"):
+    """Self-play rollout: n_steps of sample+step under one lax.scan — the
+    jitted equivalent of the reference's runner.sample(); runner.step_sync()
+    driver loop (pytest/test_vec_env.py:97-112). Returns final carry plus
+    per-step (actions, dones, rewards, agents).
+
+    auto_reset:
+      * "step": reset done envs inside the scan via a batch-gated
+        lax.cond — exact vec_cog_env semantics, but XLA charges the big
+        untaken branch every iteration (~28 ms at 1024 envs), so use it only
+        for small parity batches.
+      * "chunk" (default): done envs dead-step (cog_env::step's done
+        early-out, src/environment.cpp:92-95) until the end of the scan;
+        one `reset_done` runs afterwards. Identical trajectories whenever
+        episodes don't end mid-chunk; throughput-mode otherwise.
+      * "none": dead-step only; caller owns reset_done.
+    """
     def body(carry, _):
         s, rngs = carry
-        actions, rngs = jax.vmap(E.sample_action)(rngs, _active_mask(s, mask_src))
+        actions, rngs, tainted = jax.vmap(E.sample_action)(
+            rngs, _active_mask(s, mask_src))
         s = _vstep(s, actions)
+        s = s._replace(rng_tainted=s.rng_tainted | tainted)
         done = s.done
-        s = jax.lax.cond(jnp.any(done),
-                         lambda x: _batch_select(done, _vreset(x), x),
-                         lambda x: x, s)
+        if auto_reset == "step":
+            s = jax.lax.cond(jnp.any(done),
+                             lambda x: _batch_select(done, _vreset(x), x),
+                             lambda x: x, s)
         return (s, rngs), (actions, done, s.rewards, s.agent)
 
     (states, sampler_rngs), traj = jax.lax.scan(
         body, (states, sampler_rngs), None, length=n_steps)
+    if auto_reset == "chunk":
+        states = jax.lax.cond(jnp.any(states.done), reset_done,
+                              lambda x: x, states)
     return states, sampler_rngs, traj
 
 
@@ -134,8 +161,10 @@ class VecEnv:
         return done
 
     def sample(self):
-        actions, self.sampler_rngs = vec_sample(
+        actions, self.sampler_rngs, tainted = vec_sample(
             self.sampler_rngs, _active_mask(self.states, self.mask_src))
+        self.states = self.states._replace(
+            rng_tainted=self.states.rng_tainted | tainted)
         return actions
 
     # -- reference observation surface ------------------------------------

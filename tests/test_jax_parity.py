@@ -48,8 +48,9 @@ def parity_rollout(seed, samp_seed, n_players, n_pieces, diff, max_steps, T,
     def body(carry, _):
         s, rng = carry
         src = s.storage_masks[s.agent] if mask_src else s.sel_mask
-        act, rng = E.sample_action(rng, src)
+        act, rng, tainted = E.sample_action(rng, src)
         s = E.step_env(s, act)
+        s = s._replace(rng_tainted=s.rng_tainted | tainted)
         done = s.done
         s = jax.lax.cond(done, E.reset_env, lambda x: x, s)
         rec = {
@@ -62,6 +63,7 @@ def parity_rollout(seed, samp_seed, n_players, n_pieces, diff, max_steps, T,
             "info_travelled": s.info_travelled,
             "info_added": s.info_added, "info_removed": s.info_removed,
             "info_card_uses": s.info_card_uses,
+            "rng_tainted": s.rng_tainted,
         }
         if with_map:
             rec["map"] = s.map_obs
@@ -113,6 +115,8 @@ def test_jax_trajectory_matches_oracle(name, mask_src, max_steps, limit,
                 axis=1))[0]
             raise AssertionError(f"{name}: field {key} first diverges at "
                                  f"step {w[0]}")
+    assert not np.asarray(traj["rng_tainted"]).any(), \
+        "fast RNG path deviated from the exact stream"
     if with_map:
         # post-auto-reset maps regenerate in-jit; compare at done steps
         for k, t in enumerate(d["reset_steps"]):
