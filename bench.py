@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--difficulty", type=int, default=0)
     args = ap.parse_args()
 
-    from eldorado_tpu.vec import rollout, sampler_init, vec_reset
+    from eldorado_tpu.vec import rollout, rollout_chunked, sampler_init, vec_reset
 
     states = vec_reset(12345, args.envs, args.players, args.pieces,
                        args.difficulty, 100000)
@@ -45,12 +45,12 @@ def main():
     rngs = sampler_init(42, args.envs)
 
     # warmup / compile
-    states, rngs, _ = rollout(states, rngs, args.chunk, "storage")
+    states, rngs, _ = rollout(states, rngs, args.chunk, "storage", "none")
     jax.block_until_ready(states.rng)
 
     t0 = time.time()
-    for _ in range(args.chunks):
-        states, rngs, _ = rollout(states, rngs, args.chunk, "storage")
+    states, rngs, _ = rollout_chunked(states, rngs,
+                                      args.chunk * args.chunks, args.chunk)
     jax.block_until_ready(states.rng)
     dt = time.time() - t0
 

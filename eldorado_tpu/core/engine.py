@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import (
     GRIDSIZE,
@@ -60,23 +61,42 @@ MASK_LEN = 92
 PILE_DRAW, PILE_HAND, PILE_ACTIVE, PILE_PLAYED, PILE_DISCARD = range(5)
 
 # static tables
-_CARD_RES = jnp.asarray(T.CARD_RES, _f32)          # (21,3)
-_CARD_COST = jnp.asarray(T.CARD_COST, _f32)        # (21,)
-_CARD_SINGLE = jnp.asarray(T.CARD_SINGLE_USE)      # (21,)
-_CARD_IS_SPECIAL = jnp.asarray(T.CARD_IS_SPECIAL)  # (21,)
-_CARD_SPECIAL = jnp.asarray(T.CARD_SPECIAL, _i32)  # (21,)
-_SHOP_TYPE = jnp.asarray(T.SHOP_CARD_TYPE, _i32)   # (18,)
-_SHOP_COST = jnp.asarray(T.SHOP_COST, _f32)        # (18,)
-_SHOP_MKT0 = jnp.asarray(T.SHOP_STARTS_IN_MARKET)  # (18,)
+# numpy (not jnp) so pallas kernels can close over them as baked literals
+_CARD_RES = np.asarray(T.CARD_RES, np.float32)     # (21,3)
+_CARD_COST = np.asarray(T.CARD_COST, np.float32)   # (21,)
+_CARD_SINGLE = np.asarray(T.CARD_SINGLE_USE)       # (21,)
+_CARD_IS_SPECIAL = np.asarray(T.CARD_IS_SPECIAL)   # (21,)
+_CARD_SPECIAL = np.asarray(T.CARD_SPECIAL, np.int32)
+_SHOP_TYPE = np.asarray(T.SHOP_CARD_TYPE, np.int32)
+_SHOP_COST = np.asarray(T.SHOP_COST, np.float32)
+_SHOP_MKT0 = np.asarray(T.SHOP_STARTS_IN_MARKET)
 # card type -> shop-buyable resource cost table padded to 21 (for one-hot)
-_DIR_DBL = jnp.asarray(
-    [(0, 0), (2, 0), (0, 2), (-2, 2), (-2, 0), (0, -2), (2, -2)], _i32)
+_DIR_DBL = np.asarray(
+    [(0, 0), (2, 0), (0, 2), (-2, 2), (-2, 0), (0, -2), (2, -2)], np.int32)
 
-_IOTA4 = jnp.arange(MAX_N_PLAYERS)
-_IOTA21 = jnp.arange(N_CARDTYPES)
-_IOTA92 = jnp.arange(MASK_LEN)
-_IOTA18 = jnp.arange(N_BUYABLETYPES)
-_IOTA3 = jnp.arange(3)
+# 2-hop hex neighbourhood ("ball"): every cell reachable as a+b for unit
+# direction offsets a, b (incl. null). The step's only map dependence is this
+# 19-cell ball per player, which lets the hot path consume *pregathered*
+# cells — the kernel path (ops/step_kernel.py) never touches the 48x48 map.
+_BALL_LIST = []
+for _a in ((0, 0), (2, 0), (0, 2), (-2, 2), (-2, 0), (0, -2), (2, -2)):
+    for _b in ((0, 0), (2, 0), (0, 2), (-2, 2), (-2, 0), (0, -2), (2, -2)):
+        _o = (_a[0] + _b[0], _a[1] + _b[1])
+        if _o not in _BALL_LIST:
+            _BALL_LIST.append(_o)
+N_BALL = len(_BALL_LIST)  # 19
+_BALL = np.asarray(_BALL_LIST, np.int32)               # (19,2)
+_PAIR = np.asarray(
+    [[_BALL_LIST.index((_a[0] + _b[0], _a[1] + _b[1]))
+      for _b in ((0, 0), (2, 0), (0, 2), (-2, 2), (-2, 0), (0, -2), (2, -2))]
+     for _a in ((0, 0), (2, 0), (0, 2), (-2, 2), (-2, 0), (0, -2), (2, -2))],
+    np.int32)                                          # (7,7) dir-pair -> ball idx
+
+_IOTA4 = np.arange(MAX_N_PLAYERS)
+_IOTA21 = np.arange(N_CARDTYPES)
+_IOTA92 = np.arange(MASK_LEN)
+_IOTA18 = np.arange(N_BUYABLETYPES)
+_IOTA3 = np.arange(3)
 
 
 def _oh(i, iota):
@@ -109,13 +129,22 @@ def _get1(arr, i, iota):
     return jnp.max(jnp.where(_oh(i, iota), arr, jnp.zeros_like(arr)))
 
 
-_IOTA5 = jnp.arange(5)
+_IOTA5 = np.arange(5)
 
 
 def _pile_add(piles, row, delta):
     """piles (4,5,21) u8 += delta (4,21) at static pile row, scatter-free."""
     rm = (_IOTA5 == row)[None, :, None]
     return piles + jnp.where(rm, delta[:, None, :], jnp.zeros((), _u8))
+
+
+def _csum_incl(x_i32):
+    """Inclusive prefix sum along the last axis via a triangular f32 matmul
+    (values < 2^24 so f32 is exact). jnp.cumsum is avoided because the hot
+    path must also lower through Mosaic inside the Pallas step kernel."""
+    n = x_i32.shape[-1]
+    tril = np.tril(np.ones((n, n), np.float32)).T  # row i feeds cols j >= i
+    return (x_i32.astype(_f32) @ tril).astype(_i32)
 
 
 def _embed(vals, off):
@@ -190,10 +219,8 @@ def _select(pred, a, b):
     return jax.tree_util.tree_map(pick, a, b)
 
 
-_HEAD22 = jnp.zeros(22, bool).at[0].set(True)
-_NULL_MASK = (jnp.zeros(MASK_LEN, bool)
-              .at[PLAY0].set(True).at[SPECIAL0].set(True)
-              .at[REMOVE0].set(True).at[MOVE0].set(True).at[SHOP0].set(True))
+_NULL_MASK = np.zeros(MASK_LEN, bool)
+_NULL_MASK[[PLAY0, SPECIAL0, REMOVE0, MOVE0, SHOP0]] = True
 # per-head membership of the flat mask (static constants)
 _IN_PLAY = (_IOTA92 >= PLAY0) & (_IOTA92 < PLAY0 + 22)
 _IN_SPECIAL = (_IOTA92 >= SPECIAL0) & (_IOTA92 < SPECIAL0 + 22)
@@ -288,7 +315,7 @@ def _deck_draw(s: EnvState, p, n):
         live = k < n_eff
         t, rng, tt = R.uniform_int_fast_maybe(rng, nid.astype(_i32), live)
         taint = taint | tt
-        cum = jnp.cumsum(draw.astype(_i32))
+        cum = _csum_incl(draw.astype(_i32))
         ct = jnp.sum(cum <= t.astype(_i32), dtype=_i32)
         ct = jnp.minimum(ct, N_CARDTYPES - 1)
         oh_ct = _oh(ct, _IOTA21)
@@ -405,7 +432,7 @@ def _pick_actives(s: EnvState, p, n, to_discard):
         live = k < n
         t, rng, tt = R.uniform_int_fast_maybe(rng, n_avail - k, live)
         taint = taint | tt
-        cum = jnp.cumsum(active.astype(_i32))
+        cum = _csum_incl(active.astype(_i32))
         ct = jnp.sum(cum <= t.astype(_i32), dtype=_i32)
         ct = jnp.minimum(ct, N_CARDTYPES - 1)
         oh_ct = _oh(ct, _IOTA21)
@@ -476,6 +503,62 @@ def _cells(s: EnvState, xy):
     return req, n_req, cell[..., 6]
 
 
+def _ball_cells(s: EnvState):
+    """Pregather (req, n_req, is_end) for every player's 19-cell 2-hop ball
+    from the map observation. Single-env; vmap for batches. This is the
+    step's entire map read set (move target, movement masks after at most
+    one hop, end-of-game check)."""
+    tgt = s.player_xy[:, None, :] + _BALL[None, :, :]          # (4,19,2)
+    d = tgt - s.min_xy
+    idx = jnp.where(d >= 0, (d >> 1) + 1, jnp.where(d == -1, 1, 0))
+    ix, iy = idx[..., 0], idx[..., 1]
+    in_grid = (ix >= 0) & (ix < GRIDSIZE) & (iy >= 0) & (iy < GRIDSIZE)
+    cell = s.map_obs[jnp.clip(ix, 0, GRIDSIZE - 1),
+                     jnp.clip(iy, 0, GRIDSIZE - 1)].astype(_i32)
+    cell = jnp.where(in_grid[..., None], cell, 0)
+    reqch = cell[..., 1:6]
+    present = reqch > 0
+    req = jnp.where(jnp.any(present, axis=-1),
+                    jnp.argmax(present, axis=-1), 5)
+    n_req = jnp.max(jnp.where(present, reqch, 0), axis=-1)
+    return req, n_req, cell[..., 6]                            # each (4,19)
+
+
+def _ball_at(ball, p, k):
+    """ball entry (req, n_req, is_end) for player p at ball index k."""
+    breq, bnr, bend = ball
+    m = _oh(p, _IOTA4)[:, None] & _oh(k, np.arange(N_BALL))[None, :]
+    pick = lambda a: jnp.max(jnp.where(m, a, jnp.zeros_like(a)))
+    # req needs a min-style default of 5 (impassable), not 0
+    req = jnp.max(jnp.where(m, breq, -1))
+    req = jnp.where(req < 0, 5, req)
+    return req, pick(bnr), pick(bend)
+
+
+def _movement_mask_ball(ball, p, m_eff, resources, n_active):
+    """Map::set_movement_mask (src/map.cpp:369-387) against pregathered
+    cells: probes the six 1-hop neighbours of player p's position after an
+    optional first hop ``m_eff`` (0 when the player did not move this
+    step)."""
+    breq, bnr, bend = ball
+    # ball indices of (m_eff + k) for k = 1..6
+    kidx = jnp.max(jnp.where(_oh(m_eff, np.arange(7))[:, None], _PAIR,
+                             jnp.zeros_like(_PAIR)), axis=0)[1:]   # (6,)
+    sel_p = _oh(p, _IOTA4)[:, None]
+    row_req = jnp.max(jnp.where(sel_p, breq, -1), axis=0)          # (19,)
+    row_req = jnp.where(row_req < 0, 5, row_req)
+    row_nr = jnp.max(jnp.where(sel_p, bnr, jnp.zeros_like(bnr)), axis=0)
+    onek = _oh(kidx[:, None], np.arange(N_BALL)[None, :])         # (6,19)
+    req = jnp.max(jnp.where(onek, row_req[None, :], -1), axis=-1)
+    req = jnp.where(req < 0, 5, req)
+    n_req = jnp.max(jnp.where(onek, row_nr[None, :], 0), axis=-1)
+    res = jnp.max(jnp.where(_IOTA3[None, :] == jnp.minimum(req, 2)[:, None],
+                            resources[None, :], 0.0), axis=-1)
+    filled = jnp.where(req >= 3, n_active > n_req,
+                       res >= n_req.astype(_f32))
+    return (req != 5) & filled
+
+
 def _movement_mask(s: EnvState, p, resources, n_active):
     """Map::set_movement_mask -> 6 bools for directions 1..6
     (src/map.cpp:369-387)."""
@@ -489,14 +572,25 @@ def _movement_mask(s: EnvState, p, resources, n_active):
     return (req != 5) & filled
 
 
-def _update_observation(s: EnvState, agent):
+def _update_observation_ball(s: EnvState, agent, ball, m_eff):
     """cog_env::update_observation — storage mask move/shop heads
-    (src/environment.cpp:252-279)."""
+    (src/environment.cpp:252-279), against pregathered ball cells."""
+    mv = _movement_mask_ball(ball, agent, m_eff, s.resources,
+                             _get1(s.n_active, agent, _IOTA4).astype(_i32))
+    return _update_observation_common(s, agent, mv)
+
+
+def _update_observation(s: EnvState, agent):
+    """Map-reading variant used on the reset path (positions are fresh)."""
+    mv = _movement_mask(s, agent, s.resources,
+                        _get1(s.n_active, agent, _IOTA4).astype(_i32))
+    return _update_observation_common(s, agent, mv)
+
+
+def _update_observation_common(s: EnvState, agent, mv):
     m = jnp.max(jnp.where(_oh(agent, _IOTA4)[:, None], s.storage_masks,
                           jnp.zeros_like(s.storage_masks)), axis=0)
     m = jnp.where(_IN_MOVE | _IN_SHOP, _NULL_MASK, m)
-    mv = _movement_mask(s, agent, s.resources,
-                        _get1(s.n_active, agent, _IOTA4).astype(_i32))
     flat_mv = _embed(mv, MOVE0 + 1)
     m = jnp.where((s.phase == TurnPhase.MOVEMENT)
                   & _IN_MOVE & (_IOTA92 != MOVE0), flat_mv, m)
@@ -620,7 +714,7 @@ def _next_agent(s: EnvState) -> EnvState:
         turn_counter=s.turn_counter + 1)
 
 
-def _run_special(s: EnvState, special, p) -> EnvState:
+def _run_special(s: EnvState, special, p, ball) -> EnvState:
     """Card special actions (src/cards.cpp:8-36) + the shop-disable
     continuation (src/environment.cpp:156-159). Writes the storage mask of
     the current agent; disable_playing acts on the selected mask."""
@@ -663,8 +757,9 @@ def _run_special(s: EnvState, special, p) -> EnvState:
                                               s.n_removes))
 
     def f_native(s):
-        mv = _movement_mask(s, p, jnp.full(3, 100.0, _f32),
-                            jnp.asarray(100, _i32))
+        mv = _movement_mask_ball(ball, p, jnp.asarray(0, _i32),
+                                 jnp.full(3, 100.0, _f32),
+                                 jnp.asarray(100, _i32))
         flat_mv = _embed(mv, MOVE0 + 1)
         m = storage(s)
         m = jnp.where(_IN_MOVE & (_IOTA92 != MOVE0), flat_mv, m)
@@ -693,6 +788,13 @@ def step_env(s: EnvState, action) -> EnvState:
     """cog_env::step (src/environment.cpp:91-224). ``action``: i32[5]
     (play, play_special, remove, move, get_from_shop); dead steps (done
     envs) are no-ops."""
+    return step_core(s, action, _ball_cells(s))
+
+
+def step_core(s: EnvState, action, ball) -> EnvState:
+    """The map-free step body: all map reads come from the pregathered
+    2-hop ``ball`` cells (see _ball_cells). Shared verbatim by the XLA path
+    (step_env) and the Pallas mega-kernel (ops/step_kernel.py)."""
     s0 = s
     action = jnp.asarray(action, _i32)
     a_play, a_sp, a_rm, a_mv, a_shop = (action[i] for i in range(5))
@@ -737,12 +839,14 @@ def step_env(s: EnvState, action) -> EnvState:
         old_xy = jnp.max(jnp.where(oh_p[:, None], s.player_xy,
                                    jnp.full_like(s.player_xy, -(1 << 20))),
                          axis=0)
-        dxy = jnp.max(jnp.where(_oh(a_mv, jnp.arange(7))[:, None], _DIR_DBL,
+        dxy = jnp.max(jnp.where(_oh(a_mv, np.arange(7))[:, None], _DIR_DBL,
                                 jnp.full_like(_DIR_DBL, -(1 << 20))), axis=0)
         new_xy = old_xy + dxy
         s = s._replace(player_xy=jnp.where(oh_p[:, None], new_xy[None],
                                            s.player_xy))
-        req, n_req, is_end = _cells(s, new_xy)
+        kidx = jnp.max(jnp.where(_oh(a_mv, np.arange(7)), _PAIR[0],
+                                 jnp.zeros_like(_PAIR[0])))
+        req, n_req, is_end = _ball_at(ball, p, kidx)
         free = jnp.any(s.next_move_free & oh_p)
 
         def handle_req(s):
@@ -854,16 +958,18 @@ def step_env(s: EnvState, action) -> EnvState:
                                  resources=jnp.zeros(3, _f32)), s)
 
     # maybe_end_turn (src/environment.cpp:244-250)
-    s = _select(jnp.any(s.has_won & oh_p) | (s.phase == TurnPhase.INACTIVE),
-                _next_agent(s), s)
-    s = _update_observation(s, s.agent)
+    rotate = jnp.any(s.has_won & oh_p) | (s.phase == TurnPhase.INACTIVE)
+    s = _select(rotate, _next_agent(s), s)
+    # position delta for the current agent within this step: only a
+    # non-rotated mover has hopped relative to the pregathered ball
+    m_eff = jnp.where(b_move & ~rotate, a_mv, 0)
+    s = _update_observation_ball(s, s.agent, ball, m_eff)
 
     # special function, else done check (src/environment.cpp:183-207)
-    s = _select(special > 0, _run_special(s, special, s.agent), s)
-    cur_xy = jnp.max(jnp.where(_oh(s.agent, _IOTA4)[:, None], s.player_xy,
-                               jnp.full_like(s.player_xy, -(1 << 20))),
-                     axis=0)
-    _, _, on_end = _cells(s, cur_xy)
+    s = _select(special > 0, _run_special(s, special, s.agent, ball), s)
+    k0 = jnp.max(jnp.where(_oh(m_eff, np.arange(7)), _PAIR[:, 0],
+                           jnp.zeros_like(_PAIR[:, 0])))
+    _, _, on_end = _ball_at(ball, s.agent, k0)
     end_now = (special == 0) & ((on_end > 0)
                                 | (s.turn_counter >= s.max_steps))
     n_winners = jnp.sum(s.has_won.astype(_f32))
@@ -885,6 +991,25 @@ def step_env(s: EnvState, action) -> EnvState:
     return _select(s0.done, s0, s)
 
 
+# Fields the step never writes (static across steps; only reset touches
+# them). vec.py keeps these out of the lax.scan carry; the Pallas kernel
+# never receives them at all (map reads are pregathered ball cells).
+STATIC_FIELDS = ("map_obs", "min_xy", "map_ok", "n_players", "n_pieces",
+                 "difficulty", "max_steps")
+DYN_FIELDS = tuple(f for f in EnvState._fields if f not in STATIC_FIELDS)
+
+
+def split_state(states):
+    return (tuple(getattr(states, f) for f in STATIC_FIELDS),
+            tuple(getattr(states, f) for f in DYN_FIELDS))
+
+
+def merge_state(static, dyn):
+    parts = dict(zip(STATIC_FIELDS, static))
+    parts.update(zip(DYN_FIELDS, dyn))
+    return EnvState(**parts)
+
+
 # ------------------------------------------------------------------- sampler
 def sample_action(rng, mask):
     """action_sampler::sample (include/sampler.h:14-79): per head, a uniform
@@ -900,7 +1025,7 @@ def sample_action(rng, mask):
         n = jnp.sum(bits, dtype=_i32)
         pos, rng, tt = R.uniform_int_fast(rng, jnp.maximum(n, 1))
         tainted = tainted | tt
-        csum = jnp.cumsum(bits) - bits
+        csum = _csum_incl(bits.astype(_i32)) - bits.astype(_i32)
         val = jnp.argmax(bits & (csum == pos.astype(_i32))).astype(_i32)
         outs.append(jnp.where(n > 0, val, 0))
     return jnp.stack(outs), rng, tainted

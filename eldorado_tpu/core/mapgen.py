@@ -193,11 +193,21 @@ def _try_add_random(s: MapGenState, pid):
 
     base = _PIECE_XY[pid]                      # (37,2)
     bvalid = _PIECE_VALID[pid]                 # (37,)
-    fp = _rotv(base[None, None], rots[:, :, 0:1]) + coords[:, :, None, :]
-    gx = jnp.clip(fp[..., 0] + OFF, 0, OCC - 1)
-    gy = jnp.clip(fp[..., 1] + OFF, 0, OCC - 1)
-    hit = (s.occ[gx, gy] > 0) & bvalid[None, None, :]
-    ok = live & ~jnp.any(hit, axis=-1)         # (P,21)
+
+    # overlap test per placed-piece slot; the fori keeps the transient
+    # footprint buffer at (21,37,2) instead of (P,21,37,2) — peak reset
+    # memory at 4096 vmapped envs drops ~16x (the full form OOM-faulted the
+    # chip during large-batch resets)
+    def slot_overlap(e, over):
+        fp = _rotv(base[None], rots[e, :, 0:1]) + coords[e, :, None, :]
+        gx = jnp.clip(fp[..., 0] + OFF, 0, OCC - 1)
+        gy = jnp.clip(fp[..., 1] + OFF, 0, OCC - 1)
+        hit = (s.occ[gx, gy] > 0) & bvalid[None, :]
+        return over.at[e].set(jnp.any(hit, axis=-1))
+
+    overlap = jax.lax.fori_loop(0, MAX_PLACED, slot_overlap,
+                                jnp.zeros((MAX_PLACED, 21), bool))
+    ok = live & ~overlap                       # (P,21)
 
     flat_ok = ok.reshape(-1)
     n_valid = jnp.sum(flat_ok, dtype=_i32)

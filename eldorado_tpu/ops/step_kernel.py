@@ -1,0 +1,187 @@
+"""Pallas fused step kernel: sampler + full game step in one TPU program.
+
+The XLA path (vec.rollout) emits ~5.8k HLO ops per lockstep step; even
+scatter-free and carry-split, per-step cost is dominated by op scheduling
+(~1 ms fixed + ~1 us/env at large batches). This kernel collapses the entire
+sample+step into a single Mosaic program over env blocks, so the whole step
+is one kernel launch plus one XLA pregather of map cells.
+
+Design:
+* The game logic is NOT reimplemented: the kernel body calls
+  `jax.vmap(engine.step_core)` / `jax.vmap(engine.sample_action)` on the
+  values it loads — Mosaic lowers exactly the one-hot/elementwise/matmul ops
+  the engine is already written in (the engine deliberately avoids
+  scatter/gather/cumsum; see engine.py docstring).
+* Map reads are the per-player 19-cell 2-hop "ball" (engine._ball_cells),
+  gathered by XLA before the kernel from the current positions. The kernel
+  never sees the 48x48x7 map.
+* All dynamic state leaves are reshaped to (N, F) 2-D buffers and blocked
+  over the env axis; the only step-static env inputs are n_players /
+  max_steps. Every table/iota constant the traced logic closes over is
+  hoisted into a (deduplicated) replicated kernel input via
+  `jax.closure_convert` — Pallas forbids captured array constants.
+
+The kernel is bit-identical to the XLA path by construction (same traced
+logic), validated in tests/test_step_kernel.py against the XLA step and the
+golden trajectory corpus.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import engine as E
+
+_i32 = jnp.int32
+
+
+def _feat_template(states):
+    _, dyn = E.split_state(states)
+    return [(name, leaf.shape[1:], leaf.dtype)
+            for name, leaf in zip(E.DYN_FIELDS, dyn)]
+
+
+def _to2d(leaf):
+    return leaf.reshape(leaf.shape[0], -1)
+
+
+def _step_values(feat, mask_src, *flat):
+    """Pure (values -> values) fused sample+step on one env block. All
+    inputs/outputs are 2-D (B, F) arrays; closure_convert hoists captured
+    table constants."""
+    n_dyn = len(feat)
+    dyn = [v.reshape((v.shape[0],) + fshape)
+           for (name, fshape, dtype), v in zip(feat, flat[:n_dyn])]
+    srng = flat[n_dyn][:, 0]
+    breq = flat[n_dyn + 1].reshape(-1, 4, E.N_BALL)
+    bnr = flat[n_dyn + 2].reshape(-1, 4, E.N_BALL)
+    bend = flat[n_dyn + 3].reshape(-1, 4, E.N_BALL)
+    n_players = flat[n_dyn + 4][:, 0]
+    max_steps = flat[n_dyn + 5][:, 0]
+
+    b = srng.shape[0]
+    static = (jnp.zeros((b, 1, 1, 7), jnp.uint8),   # map_obs (never read)
+              jnp.zeros((b, 2), _i32),              # min_xy (never read)
+              jnp.ones((b,), bool),                 # map_ok (never read)
+              n_players,
+              jnp.zeros((b,), _i32),                # n_pieces (never read)
+              jnp.zeros((b,), _i32),                # difficulty (never read)
+              max_steps)
+    s = E.merge_state(static, tuple(dyn))
+
+    if mask_src == "storage":
+        oh = s.agent[:, None] == np.arange(4)[None, :]
+        masks = jnp.max(
+            jnp.where(oh[:, :, None], s.storage_masks,
+                      jnp.zeros_like(s.storage_masks)), axis=1)
+    else:
+        masks = s.sel_mask
+    actions, srng, tainted = jax.vmap(E.sample_action)(srng, masks)
+    s = jax.vmap(E.step_core)(s, actions, (breq, bnr, bend))
+    s = s._replace(rng_tainted=s.rng_tainted | tainted)
+
+    _, dyn_out = E.split_state(s)
+    outs = [_to2d(v) for v in dyn_out]
+    outs.append(srng[:, None])
+    outs.append(actions.astype(_i32))
+    return tuple(outs)
+
+
+def make_fused_step(states, mask_src: str = "storage", block: int = 256,
+                    interpret: bool = False):
+    """Build a (states, srngs) -> (states, srngs, actions) fused step for
+    this batch shape. ``block`` envs per kernel instance (grid over
+    N/block)."""
+    n = int(states.rng.shape[0])
+    block = min(block, n)
+    assert n % block == 0, (n, block)
+    feat = _feat_template(states)
+    n_dyn = len(feat)
+
+    # ---- trace once on a block to extract the hoisted constants ----------
+    _, dyn = E.split_state(states)
+    ex = [jnp.zeros((block,) + _to2d(x).shape[1:], x.dtype) for x in dyn]
+    ex.append(jnp.zeros((block, 1), jnp.uint32))
+    for _ in range(3):
+        ex.append(jnp.zeros((block, 4 * E.N_BALL), _i32))
+    ex.append(jnp.zeros((block, 1), _i32))
+    ex.append(jnp.zeros((block, 1), _i32))
+    body = functools.partial(_step_values, feat, mask_src)
+    # make_jaxpr exposes *every* captured constant (closure_convert lifts
+    # only inexact dtypes); the kernel then re-evaluates the jaxpr with the
+    # constants bound to replicated kernel inputs.
+    closed_jaxpr = jax.make_jaxpr(body)(*ex)
+    consts = closed_jaxpr.consts
+
+    # dedupe identical constant arrays (the triangular cumsum matmuls alone
+    # appear ~30x)
+    uniq, remap = [], []
+    seen = {}
+    for c in consts:
+        c = np.asarray(c)
+        key = (c.dtype.str, c.shape, c.tobytes())
+        if key not in seen:
+            seen[key] = len(uniq)
+            uniq.append(c)
+        remap.append(seen[key])
+    uniq2d = [u.reshape(1, -1) if u.ndim < 2 else u for u in uniq]
+
+    n_in = len(ex)
+
+    def kernel(*refs):
+        ins = refs[:n_in]
+        crefs = refs[n_in:n_in + len(uniq)]
+        outs = refs[n_in + len(uniq):]
+        vals = [r[...] for r in ins]
+        cvals = [crefs[i][...].reshape(uniq[i].shape) for i in remap]
+        results = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, cvals, *vals)
+        for r, v in zip(outs, results):
+            r[...] = v
+
+    def bspec(f):
+        return pl.BlockSpec((block, int(f)), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def cspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    out_feat = [_to2d(x).shape[1] for x in dyn] + [1, 5]
+    out_dtypes = [x.dtype for x in dyn] + [jnp.uint32, _i32]
+
+    def fused(states, srngs):
+        ball = jax.vmap(E._ball_cells)(states)  # XLA gather from the map
+        _, dyn = E.split_state(states)
+        ins = [_to2d(x) for x in dyn]
+        ins.append(srngs[:, None])
+        for part in ball:
+            ins.append(part.reshape(n, 4 * E.N_BALL))
+        ins.append(states.n_players[:, None])
+        ins.append(states.max_steps[:, None])
+
+        out_shapes = [jax.ShapeDtypeStruct((n, int(f)), dt)
+                      for f, dt in zip(out_feat, out_dtypes)]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n // block,),
+            in_specs=([bspec(x.shape[1]) for x in ins]
+                      + [cspec(u.shape) for u in uniq2d]),
+            out_specs=[bspec(sh.shape[1]) for sh in out_shapes],
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*ins, *uniq2d)
+
+        new_dyn = tuple(
+            o.reshape((n,) + fshape)
+            for o, (_, fshape, _) in zip(outs[:n_dyn], feat))
+        static, _ = E.split_state(states)
+        new_states = E.merge_state(static, new_dyn)
+        return new_states, outs[n_dyn][:, 0], outs[n_dyn + 1]
+
+    return fused

@@ -84,6 +84,13 @@ def sampler_init(seed, n_envs):
         jnp.asarray(seed, jnp.uint32) + jnp.arange(n_envs, dtype=jnp.uint32))
 
 
+# Keeping step-static fields (incl. the 16KB/env map observation) out of
+# the lax.scan carry guarantees XLA cannot insert per-iteration copies of
+# them (observed as O(N) per-step cost at large batches).
+_split_state = E.split_state
+_merge_state = E.merge_state
+
+
 def _active_mask(states, mask_src: str):
     if mask_src == "storage":
         return jnp.take_along_axis(
@@ -100,7 +107,7 @@ def reset_done(states):
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def rollout(states, sampler_rngs, n_steps: int, mask_src: str = "storage",
-            auto_reset: str = "chunk"):
+            auto_reset: str = "none"):
     """Self-play rollout: n_steps of sample+step under one lax.scan — the
     jitted equivalent of the reference's runner.sample(); runner.step_sync()
     driver loop (pytest/test_vec_env.py:97-112). Returns final carry plus
@@ -111,31 +118,134 @@ def rollout(states, sampler_rngs, n_steps: int, mask_src: str = "storage",
         lax.cond — exact vec_cog_env semantics, but XLA charges the big
         untaken branch every iteration (~28 ms at 1024 envs), so use it only
         for small parity batches.
-      * "chunk" (default): done envs dead-step (cog_env::step's done
-        early-out, src/environment.cpp:92-95) until the end of the scan;
-        one `reset_done` runs afterwards. Identical trajectories whenever
-        episodes don't end mid-chunk; throughput-mode otherwise.
-      * "none": dead-step only; caller owns reset_done.
+      * "none" (default): done envs dead-step (cog_env::step's done
+        early-out, src/environment.cpp:92-95); the caller resets between
+        dispatches (see rollout_chunked — a device-side lax.cond on the
+        reset branch costs ~13 s per dispatch at 4096 envs even untaken,
+        so the done check lives on the host).
     """
-    def body(carry, _):
-        s, rngs = carry
+    def sample_and_step(s, rngs):
         actions, rngs, tainted = jax.vmap(E.sample_action)(
             rngs, _active_mask(s, mask_src))
         s = _vstep(s, actions)
         s = s._replace(rng_tainted=s.rng_tainted | tainted)
-        done = s.done
-        if auto_reset == "step":
+        return s, rngs, actions
+
+    if auto_reset == "step":
+        # exact vec semantics: reset may regenerate maps mid-scan, so the
+        # full state is the carry
+        def body(carry, _):
+            s, rngs = carry
+            s, rngs, actions = sample_and_step(s, rngs)
+            done = s.done
             s = jax.lax.cond(jnp.any(done),
                              lambda x: _batch_select(done, _vreset(x), x),
                              lambda x: x, s)
-        return (s, rngs), (actions, done, s.rewards, s.agent)
+            return (s, rngs), (actions, done, s.rewards, s.agent)
 
-    (states, sampler_rngs), traj = jax.lax.scan(
-        body, (states, sampler_rngs), None, length=n_steps)
-    if auto_reset == "chunk":
-        states = jax.lax.cond(jnp.any(states.done), reset_done,
-                              lambda x: x, states)
-    return states, sampler_rngs, traj
+        (states, sampler_rngs), traj = jax.lax.scan(
+            body, (states, sampler_rngs), None, length=n_steps)
+        return states, sampler_rngs, traj
+
+    static, dyn0 = _split_state(states)
+
+    def body(carry, _):
+        dyn, rngs = carry
+        s, rngs, actions = sample_and_step(_merge_state(static, dyn), rngs)
+        _, dyn = _split_state(s)
+        return (dyn, rngs), (actions, s.done, s.rewards, s.agent)
+
+    (dyn, sampler_rngs), traj = jax.lax.scan(
+        body, (dyn0, sampler_rngs), None, length=n_steps)
+    return _merge_state(static, dyn), sampler_rngs, traj
+
+
+_RESET_BUCKETS = (8, 32, 128, 512, 2048)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _reset_bucket(states, idxs, bucket: int):
+    """Reset the envs at ``idxs`` (padded with repeats to a static bucket
+    size): gather -> vmapped reset -> write back. Map generation then costs
+    O(bucket), not O(n_envs) — resetting a handful of finished envs out of
+    4096 via a full-batch select pays ~500x more than it needs to."""
+    sub = jax.tree_util.tree_map(lambda x: x[idxs], states)
+    sub = _vreset(sub)
+    return jax.tree_util.tree_map(
+        lambda x, y: x.at[idxs].set(y), states, sub)
+
+
+def reset_done_bucketed(states, done=None):
+    """Host-driven sparse auto-reset: resets exactly the done envs using the
+    smallest padded bucket. Returns (states, n_episodes)."""
+    import numpy as np
+    if done is None:
+        done = np.asarray(states.done)
+    idxs = np.nonzero(done)[0]
+    if len(idxs) == 0:
+        return states, 0
+    bucket = next((b for b in _RESET_BUCKETS if b >= len(idxs)),
+                  None)
+    if bucket is None:
+        return reset_done(states), int(len(idxs))
+    pad = np.full(bucket, idxs[0], idxs.dtype)
+    pad[: len(idxs)] = idxs
+    return _reset_bucket(states, jnp.asarray(pad), bucket), int(len(idxs))
+
+
+_KERNEL_CACHE = {}
+
+
+def kernel_rollout(states, sampler_rngs, n_steps: int,
+                   mask_src: str = "storage", block: int = 256,
+                   interpret: bool = False):
+    """Rollout driven by the fused Pallas step kernel
+    (ops/step_kernel.py): one kernel launch + one map pregather per step,
+    under a lax.scan with the static (map) state outside the carry. Same
+    dead-step semantics as rollout(auto_reset='none')."""
+    from .ops.step_kernel import make_fused_step
+    n = int(states.rng.shape[0])
+    key = (n, mask_src, min(block, n), interpret,
+           tuple(states.map_obs.shape))
+    if key not in _KERNEL_CACHE:
+        fused = make_fused_step(states, mask_src, block, interpret)
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def run(states, rngs, n_steps):
+            static, dyn0 = _split_state(states)
+
+            def body(carry, _):
+                dyn, rngs = carry
+                s = _merge_state(static, dyn)
+                s, rngs, actions = fused(s, rngs)
+                _, dyn = _split_state(s)
+                return (dyn, rngs), (actions, s.done, s.rewards, s.agent)
+
+            (dyn, rngs), traj = jax.lax.scan(
+                body, (dyn0, sampler_rngs), None, length=n_steps)
+            return _merge_state(static, dyn), rngs, traj
+
+        _KERNEL_CACHE[key] = run
+    return _KERNEL_CACHE[key](states, sampler_rngs, n_steps)
+
+
+def rollout_chunked(states, sampler_rngs, n_steps: int, chunk: int = 100,
+                    mask_src: str = "storage"):
+    """High-throughput driver: dispatch `chunk`-step scans and auto-reset
+    finished envs between dispatches. The host-side `any(done)` check makes
+    the reset program free on chunks where no episode ended; otherwise only
+    the done envs are regenerated (bucketed). Done envs dead-step until
+    their chunk boundary."""
+    import numpy as np
+    episodes = 0
+    for _ in range(max(1, n_steps // chunk)):
+        states, sampler_rngs, _ = rollout(states, sampler_rngs, chunk,
+                                          mask_src, "none")
+        done = np.asarray(states.done)
+        if done.any():
+            states, n = reset_done_bucketed(states, done)
+            episodes += n
+    return states, sampler_rngs, episodes
 
 
 class VecEnv:
