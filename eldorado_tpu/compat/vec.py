@@ -73,6 +73,15 @@ class VecEnvCompat:
         from . import obs_dtype
         s = self._v.states
         n = self.n_envs
+        from .. import native
+        if native.available():
+            # one-pass native packing into the reference ObsData layout
+            packed = native.pack_obs(
+                np.asarray(s.map_obs), np.asarray(s.phase),
+                np.asarray(s.resources), np.asarray(s.shop_stock),
+                np.asarray(s.piles),
+                np.asarray(s.storage_masks).astype(np.uint8))
+            return packed.reshape(-1).view(obs_dtype)
         out = np.zeros(n, obs_dtype)
         out["shared"]["map"] = np.asarray(s.map_obs)
         out["shared"]["phase"] = np.asarray(s.phase).astype(np.uint8)

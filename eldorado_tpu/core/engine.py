@@ -31,6 +31,7 @@ live iterations via the loop-free two-attempt rejection kernel
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -52,8 +53,19 @@ from . import tables as T
 from .mapgen import generate_map
 
 _i32 = jnp.int32
-_u8 = jnp.uint8
+# The reference's u_char state is held as int32 (Mosaic vectorises only
+# i16/i32); every arithmetic site that can leave [0, 255] applies _wrap8,
+# preserving the uint8 wraparound semantics bit for bit.
+_u8 = jnp.int32
 _f32 = jnp.float32
+
+
+def _wrap8(x):
+    return x & 0xFF
+
+
+# debug bisect hook: ELD_STEP_STAGE=n truncates step_core after stage n
+_STAGE = int(os.environ.get("ELD_STEP_STAGE", "0"))
 
 # mask head offsets in the flat 92-bool mask (probe dump order)
 PLAY0, SPECIAL0, REMOVE0, MOVE0, SHOP0 = 0, 22, 44, 66, 73
@@ -107,12 +119,12 @@ def _oh(i, iota):
 def _row(arr2d, p):
     """arr2d[(4, k)][p] without a gather: masked max (exactly one live row,
     the rest contribute 0)."""
-    return jnp.max(jnp.where(_oh(p, _IOTA4)[:, None], arr2d,
+    return jnp.max(jnp.where(_oh(p, _IOTA4[:, None]), arr2d,
                              jnp.zeros_like(arr2d)), axis=0)
 
 
 def _put_row(arr2d, p, row):
-    return jnp.where(_oh(p, _IOTA4)[:, None], row[None, :], arr2d)
+    return jnp.where(_oh(p, _IOTA4[:, None]), row[None, :], arr2d)
 
 
 def _set1(arr, i, val, iota):
@@ -126,16 +138,43 @@ def _add1(arr, i, delta, iota):
 
 
 def _get1(arr, i, iota):
+    """arr[i] with a traced index, reduction-free for bool/unsigned dtypes
+    (Mosaic implements reductions only over signed int / float)."""
+    dt = arr.dtype
+    if dt in (jnp.bool_, jnp.uint8, jnp.uint32):
+        v = jnp.max(jnp.where(_oh(i, iota), arr.astype(_i32),
+                              jnp.zeros((), _i32)))
+        return (v > 0) if dt == jnp.bool_ else v.astype(dt)
     return jnp.max(jnp.where(_oh(i, iota), arr, jnp.zeros_like(arr)))
+
+
+def _any1(x):
+    """Scalar any() over a bool array (Mosaic has no bool reductions)."""
+    return jnp.sum(x.astype(_i32)) > 0
+
+
+def _brow(arr2d, p):
+    """Row p of a (4, k) bool array without a bool/unsigned reduction."""
+    return jnp.max(jnp.where(_oh(p, _IOTA4[:, None]), arr2d.astype(_i32),
+                             jnp.zeros((), _i32)), axis=0) > 0
+
+
+def _u8row(arr, p):
+    """Row p of a (4, ...) u8 array via an i32 reduction."""
+    oh = _oh(p, _IOTA4.reshape((MAX_N_PLAYERS,) + (1,) * (arr.ndim - 1)))
+    return jnp.max(jnp.where(oh, arr.astype(_i32), jnp.zeros((), _i32)),
+                   axis=0).astype(_u8)
 
 
 _IOTA5 = np.arange(5)
 
 
 def _pile_add(piles, row, delta):
-    """piles (4,5,21) u8 += delta (4,21) at static pile row, scatter-free."""
-    rm = (_IOTA5 == row)[None, :, None]
-    return piles + jnp.where(rm, delta[:, None, :], jnp.zeros((), _u8))
+    """piles (4,5,21) += delta (4,21) at static pile row, scatter-free,
+    with uint8 wraparound."""
+    rm = _IOTA5[None, :, None] == row
+    return _wrap8(piles + jnp.where(rm, delta[:, None, :],
+                                    jnp.zeros((), _u8)))
 
 
 def _csum_incl(x_i32):
@@ -147,11 +186,18 @@ def _csum_incl(x_i32):
     return (x_i32.astype(_f32) @ tril).astype(_i32)
 
 
+_EMBED_MATS = {}
+
+
 def _embed(vals, off):
-    """Place a bool head at a static offset in the flat 92-mask."""
-    return jnp.concatenate([
-        jnp.zeros(off, bool), vals,
-        jnp.zeros(MASK_LEN - off - vals.shape[0], bool)])
+    """Place a bool head at a static offset in the flat 92-mask via a
+    placement matmul (Mosaic rejects bool concatenation)."""
+    key = (int(off), int(vals.shape[-1]))
+    if key not in _EMBED_MATS:
+        m = np.zeros((key[1], MASK_LEN), np.float32)
+        m[np.arange(key[1]), off + np.arange(key[1])] = 1.0
+        _EMBED_MATS[key] = m
+    return (vals.astype(_f32) @ _EMBED_MATS[key]) > 0.5
 
 
 class EnvState(NamedTuple):
@@ -211,10 +257,16 @@ def _select(pred, a, b):
     the same tracer object on both sides and skip the select entirely —
     without this, every branch merge copies the full state (including the
     16KB/env map observation) and the step becomes HBM-bound."""
+    pred32 = pred.astype(_i32) if hasattr(pred, "astype") else pred
+
     def pick(x, y):
         if x is y:
             return x
-        p = pred if x.ndim == 0 else jnp.reshape(pred, (1,) * x.ndim)
+        if x.ndim == 0:
+            return jnp.where(pred, x, y)
+        # expand through i32: Mosaic only allows minor-dim insertion on
+        # 32-bit types, and vmap turns this scalar reshape into one
+        p = jnp.reshape(pred32, (1,) * x.ndim) == 1
         return jnp.where(p, x, y)
     return jax.tree_util.tree_map(pick, a, b)
 
@@ -251,7 +303,7 @@ def make_state(seed=0, n_players=4, n_pieces=3, difficulty=0,
         n_pieces=jnp.asarray(n_pieces, _i32),
         difficulty=jnp.asarray(difficulty, _i32),
         max_steps=jnp.asarray(max_steps, _i32),
-        map_obs=jnp.zeros((GRIDSIZE, GRIDSIZE, 7), _u8),
+        map_obs=jnp.zeros((GRIDSIZE, GRIDSIZE, 7), jnp.uint8),
         min_xy=jnp.zeros(2, _i32),
         player_xy=jnp.zeros((4, 2), _i32),
         map_ok=jnp.bool_(True),
@@ -294,13 +346,12 @@ def _deck_draw(s: EnvState, p, n):
     """Deck::draw (src/cards.cpp:183-211): recycle at most once, clamp, then
     up to four uniform picks scanning the draw-pile counts."""
     oh_p = _oh(p, _IOTA4)
-    piles_p = jnp.max(jnp.where(oh_p[:, None, None], s.piles,
-                                jnp.zeros_like(s.piles)), axis=0)  # (5,21)
+    piles_p = _u8row(s.piles, p)                       # (5,21)
     nid0 = _get1(s.n_in_draw, p, _IOTA4)
     need = nid0.astype(_i32) < n
-    rec_nid = nid0 + jnp.sum(
-        piles_p[PILE_DISCARD].astype(_i32)).astype(_u8)
-    draw = jnp.where(need, piles_p[PILE_DRAW] + piles_p[PILE_DISCARD],
+    rec_nid = _wrap8(nid0 + jnp.sum(piles_p[PILE_DISCARD]))
+    draw = jnp.where(need,
+                     _wrap8(piles_p[PILE_DRAW] + piles_p[PILE_DISCARD]),
                      piles_p[PILE_DRAW])
     discard = jnp.where(need, jnp.zeros(N_CARDTYPES, _u8),
                         piles_p[PILE_DISCARD])
@@ -320,20 +371,20 @@ def _deck_draw(s: EnvState, p, n):
         ct = jnp.minimum(ct, N_CARDTYPES - 1)
         oh_ct = _oh(ct, _IOTA21)
         dlt = jnp.where(live & oh_ct, one, jnp.zeros((), _u8))
-        draw = draw - dlt
-        hand = hand + dlt
-        nid = jnp.where(live, nid - one, nid)
+        draw = _wrap8(draw - dlt)
+        hand = _wrap8(hand + dlt)
+        nid = jnp.where(live, _wrap8(nid - one), nid)
         sel = jnp.where(live & _oh(PLAY0 + 1 + ct, _IOTA92), True, sel)
         sel = jnp.where(live & _oh(SPECIAL0 + 1 + ct, _IOTA92),
                         _get1(_CARD_IS_SPECIAL, ct, _IOTA21), sel)
     new_p = jnp.stack([draw, hand, piles_p[PILE_ACTIVE],
                        piles_p[PILE_PLAYED], discard])
-    piles = jnp.where(oh_p[:, None, None], new_p[None], s.piles)
+    piles = jnp.where(_oh(p, _IOTA4[:, None, None]), new_p[None], s.piles)
     return s._replace(
         piles=piles,
         n_in_draw=jnp.where(oh_p, nid, s.n_in_draw),
-        n_in_hand=s.n_in_hand + jnp.where(oh_p, n_eff.astype(_u8),
-                                          jnp.zeros((), _u8)),
+        n_in_hand=_wrap8(s.n_in_hand + jnp.where(oh_p, n_eff,
+                                                 jnp.zeros((), _u8))),
         sel_mask=sel, rng=rng, rng_tainted=taint)
 
 
@@ -341,17 +392,19 @@ def _activate(s: EnvState, p, idx):
     """Deck::activate (src/cards.cpp:242-253)."""
     oh_p = _oh(p, _IOTA4)
     oh_c = _oh(idx, _IOTA21)
-    prev = jnp.max(jnp.where(oh_p[:, None] & oh_c[None, :],
-                             s.piles[:, PILE_HAND], 0))
+    prev = jnp.max(jnp.where(_oh(p, _IOTA4[:, None]) & oh_c[None, :],
+                             s.piles[:, PILE_HAND].astype(_i32), 0))
     one = jnp.asarray(1, _u8)
-    cell = oh_p[:, None] & oh_c[None, :]
+    cell = _oh(p, _IOTA4[:, None]) & oh_c[None, :]
     neg = jnp.where(cell, -one, jnp.zeros((), _u8))
     pos = jnp.where(cell, one, jnp.zeros((), _u8))
     piles = _pile_add(_pile_add(s.piles, PILE_HAND, neg), PILE_ACTIVE, pos)
     return s._replace(
         piles=piles,
-        n_in_hand=s.n_in_hand - jnp.where(oh_p, one, jnp.zeros((), _u8)),
-        n_active=s.n_active + jnp.where(oh_p, one, jnp.zeros((), _u8)),
+        n_in_hand=_wrap8(s.n_in_hand - jnp.where(oh_p, one,
+                                                 jnp.zeros((), _u8))),
+        n_active=_wrap8(s.n_active + jnp.where(oh_p, one,
+                                               jnp.zeros((), _u8))),
         idx_last=jnp.where(oh_p, idx.astype(_u8), s.idx_last),
         sel_mask=_sel_card_bits(
             s.sel_mask, idx, prev > 1,
@@ -363,24 +416,26 @@ def _play_last_activated(s: EnvState, p):
     idx = _get1(s.idx_last, p, _IOTA4).astype(_i32)
     oh_p = _oh(p, _IOTA4)
     oh_c = _oh(idx, _IOTA21)
-    cell = oh_p[:, None] & oh_c[None, :]
+    cell = _oh(p, _IOTA4[:, None]) & oh_c[None, :]
     one = jnp.asarray(1, _u8)
-    single = _get1(_CARD_SINGLE, idx, _IOTA21)
+    single_i = _get1(_CARD_SINGLE.astype(np.int32), idx, _IOTA21)
     piles = _pile_add(s.piles, PILE_ACTIVE,
                       jnp.where(cell, -one, jnp.zeros((), _u8)))
     piles = _pile_add(piles, PILE_PLAYED,
-                      jnp.where(cell & ~single, one, jnp.zeros((), _u8)))
+                      jnp.where(cell & (single_i == 0), one,
+                                jnp.zeros((), _u8)))
     return s._replace(
         piles=piles,
-        n_active=s.n_active - jnp.where(oh_p, one, jnp.zeros((), _u8)))
+        n_active=_wrap8(s.n_active - jnp.where(oh_p, one,
+                                               jnp.zeros((), _u8))))
 
 
 def _play_immediate(s: EnvState, p, idx):
     """src/cards.cpp:263-273."""
     oh_p = _oh(p, _IOTA4)
     oh_c = _oh(idx, _IOTA21)
-    cell = oh_p[:, None] & oh_c[None, :]
-    prev = jnp.max(jnp.where(cell, s.piles[:, PILE_HAND], 0))
+    cell = _oh(p, _IOTA4[:, None]) & oh_c[None, :]
+    prev = jnp.max(jnp.where(cell, s.piles[:, PILE_HAND].astype(_i32), 0))
     one = jnp.asarray(1, _u8)
     piles = _pile_add(
         _pile_add(s.piles, PILE_HAND, jnp.where(cell, -one,
@@ -388,7 +443,8 @@ def _play_immediate(s: EnvState, p, idx):
         PILE_PLAYED, jnp.where(cell, one, jnp.zeros((), _u8)))
     return s._replace(
         piles=piles,
-        n_in_hand=s.n_in_hand - jnp.where(oh_p, one, jnp.zeros((), _u8)),
+        n_in_hand=_wrap8(s.n_in_hand - jnp.where(oh_p, one,
+                                                 jnp.zeros((), _u8))),
         sel_mask=_sel_card_bits(
             s.sel_mask, idx, prev > 1,
             (prev > 1) & _get1(_CARD_IS_SPECIAL, idx, _IOTA21)))
@@ -398,15 +454,16 @@ def _remove_immediate(s: EnvState, p, idx):
     """src/cards.cpp:281-290."""
     oh_p = _oh(p, _IOTA4)
     oh_c = _oh(idx, _IOTA21)
-    cell = oh_p[:, None] & oh_c[None, :]
-    prev = jnp.max(jnp.where(cell, s.piles[:, PILE_HAND], 0))
+    cell = _oh(p, _IOTA4[:, None]) & oh_c[None, :]
+    prev = jnp.max(jnp.where(cell, s.piles[:, PILE_HAND].astype(_i32), 0))
     one = jnp.asarray(1, _u8)
     play_bit = _get1(s.sel_mask, PLAY0 + 1 + idx, _IOTA92) & (prev > 1)
     remove_bit = _get1(s.sel_mask, REMOVE0 + 1 + idx, _IOTA92) & (prev > 1)
     return s._replace(
         piles=_pile_add(s.piles, PILE_HAND,
                         jnp.where(cell, -one, jnp.zeros((), _u8))),
-        n_in_hand=s.n_in_hand - jnp.where(oh_p, one, jnp.zeros((), _u8)),
+        n_in_hand=_wrap8(s.n_in_hand - jnp.where(oh_p, one,
+                                                 jnp.zeros((), _u8))),
         sel_mask=_sel_card_bits(
             s.sel_mask, idx, play_bit,
             play_bit & _get1(_CARD_IS_SPECIAL, idx, _IOTA21),
@@ -420,10 +477,8 @@ def _pick_actives(s: EnvState, p, n, to_discard):
     oh_p = _oh(p, _IOTA4)
     n_avail = _get1(s.n_active, p, _IOTA4).astype(_i32)
     n = jnp.where(to_discard, n, jnp.minimum(n, n_avail))
-    active = jnp.max(jnp.where(oh_p[:, None], s.piles[:, PILE_ACTIVE],
-                               jnp.zeros_like(s.piles[:, PILE_ACTIVE])), 0)
-    discard = jnp.max(jnp.where(oh_p[:, None], s.piles[:, PILE_DISCARD],
-                                jnp.zeros_like(s.piles[:, PILE_DISCARD])), 0)
+    active = _u8row(s.piles[:, PILE_ACTIVE], p)
+    discard = _u8row(s.piles[:, PILE_DISCARD], p)
     n_act = _get1(s.n_active, p, _IOTA4)
     rng = s.rng
     taint = s.rng_tainted
@@ -436,14 +491,16 @@ def _pick_actives(s: EnvState, p, n, to_discard):
         ct = jnp.sum(cum <= t.astype(_i32), dtype=_i32)
         ct = jnp.minimum(ct, N_CARDTYPES - 1)
         oh_ct = _oh(ct, _IOTA21)
-        active = active - jnp.where(live & oh_ct, one, jnp.zeros((), _u8))
-        discard = discard + jnp.where(live & to_discard & oh_ct, one,
-                                      jnp.zeros((), _u8))
-        n_act = jnp.where(live, n_act - one, n_act)
-    sel_a = jnp.where(oh_p[:, None], active[None], s.piles[:, PILE_ACTIVE])
-    sel_d = jnp.where(oh_p[:, None], discard[None], s.piles[:, PILE_DISCARD])
-    ra = (_IOTA5 == PILE_ACTIVE)[None, :, None]
-    rd = (_IOTA5 == PILE_DISCARD)[None, :, None]
+        active = _wrap8(active - jnp.where(live & oh_ct, one,
+                                           jnp.zeros((), _u8)))
+        discard = _wrap8(discard + jnp.where(live & to_discard & oh_ct, one,
+                                             jnp.zeros((), _u8)))
+        n_act = jnp.where(live, _wrap8(n_act - one), n_act)
+    oh2 = _oh(p, _IOTA4[:, None])
+    sel_a = jnp.where(oh2, active[None], s.piles[:, PILE_ACTIVE])
+    sel_d = jnp.where(oh2, discard[None], s.piles[:, PILE_DISCARD])
+    ra = _IOTA5[None, :, None] == PILE_ACTIVE
+    rd = _IOTA5[None, :, None] == PILE_DISCARD
     piles = jnp.where(ra, sel_a[:, None, :],
                       jnp.where(rd, sel_d[:, None, :], s.piles))
     return s._replace(
@@ -462,8 +519,7 @@ def _disable_playing(s: EnvState):
 
 def _enable_playing(s: EnvState, p):
     """src/player.cpp:198-206 (selected mask)."""
-    hand = jnp.max(jnp.where(_oh(p, _IOTA4)[:, None], s.piles[:, PILE_HAND],
-                             jnp.zeros_like(s.piles[:, PILE_HAND])), 0)
+    hand = _u8row(s.piles[:, PILE_HAND], p)
     play = hand > 0                                   # (21,)
     flat_play = _embed(play, PLAY0 + 1)
     flat_special = _embed(play & _CARD_IS_SPECIAL, SPECIAL0 + 1)
@@ -527,7 +583,7 @@ def _ball_cells(s: EnvState):
 def _ball_at(ball, p, k):
     """ball entry (req, n_req, is_end) for player p at ball index k."""
     breq, bnr, bend = ball
-    m = _oh(p, _IOTA4)[:, None] & _oh(k, np.arange(N_BALL))[None, :]
+    m = _oh(p, _IOTA4[:, None]) & _oh(k, np.arange(N_BALL)[None, :])
     pick = lambda a: jnp.max(jnp.where(m, a, jnp.zeros_like(a)))
     # req needs a min-style default of 5 (impassable), not 0
     req = jnp.max(jnp.where(m, breq, -1))
@@ -542,9 +598,9 @@ def _movement_mask_ball(ball, p, m_eff, resources, n_active):
     step)."""
     breq, bnr, bend = ball
     # ball indices of (m_eff + k) for k = 1..6
-    kidx = jnp.max(jnp.where(_oh(m_eff, np.arange(7))[:, None], _PAIR,
+    kidx = jnp.max(jnp.where(_oh(m_eff, np.arange(7)[:, None]), _PAIR,
                              jnp.zeros_like(_PAIR)), axis=0)[1:]   # (6,)
-    sel_p = _oh(p, _IOTA4)[:, None]
+    sel_p = _oh(p, _IOTA4[:, None])
     row_req = jnp.max(jnp.where(sel_p, breq, -1), axis=0)          # (19,)
     row_req = jnp.where(row_req < 0, 5, row_req)
     row_nr = jnp.max(jnp.where(sel_p, bnr, jnp.zeros_like(bnr)), axis=0)
@@ -552,8 +608,9 @@ def _movement_mask_ball(ball, p, m_eff, resources, n_active):
     req = jnp.max(jnp.where(onek, row_req[None, :], -1), axis=-1)
     req = jnp.where(req < 0, 5, req)
     n_req = jnp.max(jnp.where(onek, row_nr[None, :], 0), axis=-1)
-    res = jnp.max(jnp.where(_IOTA3[None, :] == jnp.minimum(req, 2)[:, None],
-                            resources[None, :], 0.0), axis=-1)
+    ridx = jnp.minimum(req, 2)
+    res = jnp.where(ridx == 0, resources[0],
+                    jnp.where(ridx == 1, resources[1], resources[2]))
     filled = jnp.where(req >= 3, n_active > n_req,
                        res >= n_req.astype(_f32))
     return (req != 5) & filled
@@ -562,7 +619,7 @@ def _movement_mask_ball(ball, p, m_eff, resources, n_active):
 def _movement_mask(s: EnvState, p, resources, n_active):
     """Map::set_movement_mask -> 6 bools for directions 1..6
     (src/map.cpp:369-387)."""
-    pxy = jnp.max(jnp.where(_oh(p, _IOTA4)[:, None], s.player_xy,
+    pxy = jnp.max(jnp.where(_oh(p, _IOTA4[:, None]), s.player_xy,
                             jnp.full_like(s.player_xy, -(1 << 20))), axis=0)
     req, n_req, _ = _cells(s, pxy[None] + _DIR_DBL[1:])
     res = jnp.max(jnp.where(_IOTA3[None, :] == jnp.minimum(req, 2)[:, None],
@@ -588,8 +645,7 @@ def _update_observation(s: EnvState, agent):
 
 
 def _update_observation_common(s: EnvState, agent, mv):
-    m = jnp.max(jnp.where(_oh(agent, _IOTA4)[:, None], s.storage_masks,
-                          jnp.zeros_like(s.storage_masks)), axis=0)
+    m = _brow(s.storage_masks, agent)
     m = jnp.where(_IN_MOVE | _IN_SHOP, _NULL_MASK, m)
     flat_mv = _embed(mv, MOVE0 + 1)
     m = jnp.where((s.phase == TurnPhase.MOVEMENT)
@@ -598,7 +654,7 @@ def _update_observation_common(s: EnvState, agent, mv):
     m = jnp.where((s.phase == TurnPhase.BUYING)
                   & _IN_SHOP & (_IOTA92 != SHOP0), flat_shop, m)
     return s._replace(storage_masks=jnp.where(
-        _oh(agent, _IOTA4)[:, None], m[None], s.storage_masks))
+        _oh(agent, _IOTA4[:, None]), m[None], s.storage_masks))
 
 
 # --------------------------------------------------------------------- reset
@@ -609,13 +665,9 @@ def _player_reset(s: EnvState, p):
     start_discard = (z21.at[CardType.EXPLORER].set(3)
                      .at[CardType.TRAVELER].set(4)
                      .at[CardType.SAILOR].set(1))
-    new_p = jnp.stack([z21, z21, z21,
-                       jnp.max(jnp.where(oh_p[:, None],
-                                         s.piles[:, PILE_PLAYED],
-                                         jnp.zeros_like(
-                                             s.piles[:, PILE_PLAYED])), 0),
+    new_p = jnp.stack([z21, z21, z21, _u8row(s.piles[:, PILE_PLAYED], p),
                        start_discard])
-    piles = jnp.where(oh_p[:, None, None], new_p[None], s.piles)
+    piles = jnp.where(_oh(p, _IOTA4[:, None, None]), new_p[None], s.piles)
     z = jnp.zeros((), _u8)
     s = s._replace(
         has_won=jnp.where(oh_p, False, s.has_won),
@@ -633,7 +685,7 @@ def _player_reset(s: EnvState, p):
         sel_mask=_mask_reset(s.sel_mask))
     s = _deck_draw(s, p, jnp.asarray(HAND_SIZE, _i32))
     return s._replace(storage_masks=jnp.where(
-        oh_p[:, None], s.sel_mask[None], s.storage_masks))
+        _oh(p, _IOTA4[:, None]), s.sel_mask[None], s.storage_masks))
 
 
 def reset_env(s: EnvState) -> EnvState:
@@ -663,9 +715,7 @@ def reset_env(s: EnvState) -> EnvState:
     def obody(p, s):
         return _select(p < s.n_players, _update_observation(s, p), s)
     s = jax.lax.fori_loop(0, MAX_N_PLAYERS, obody, s, unroll=True)
-    return s._replace(sel_mask=jnp.max(
-        jnp.where(_oh(s.agent, _IOTA4)[:, None], s.storage_masks,
-                  jnp.zeros_like(s.storage_masks)), axis=0))
+    return s._replace(sel_mask=_brow(s.storage_masks, s.agent))
 
 
 def reset_env_full(s: EnvState, seed, n_players, n_pieces, difficulty,
@@ -683,13 +733,14 @@ def reset_env_full(s: EnvState, seed, n_players, n_pieces, difficulty,
 def _end_turn(s: EnvState, p):
     """Player::end_turn (src/player.cpp:170-180)."""
     oh_p = _oh(p, _IOTA4)
-    om = oh_p[:, None]
-    actpl = s.piles[:, PILE_ACTIVE] + s.piles[:, PILE_PLAYED]
-    rd = (_IOTA5 == PILE_DISCARD)[None, :, None]
-    rap = ((_IOTA5 == PILE_ACTIVE) | (_IOTA5 == PILE_PLAYED))[None, :, None]
-    piles = s.piles + jnp.where(om[:, :, None] & rd, actpl[:, None, :],
-                                jnp.zeros((), _u8))
-    piles = jnp.where(om[:, :, None] & rap, jnp.zeros((), _u8), piles)
+    om2 = _oh(p, _IOTA4[:, None, None])      # (4,1,1)
+    actpl = _wrap8(s.piles[:, PILE_ACTIVE] + s.piles[:, PILE_PLAYED])
+    rd = _IOTA5[None, :, None] == PILE_DISCARD
+    rap = ((_IOTA5 == PILE_ACTIVE)
+           | (_IOTA5 == PILE_PLAYED))[None, :, None]  # numpy, static
+    piles = _wrap8(s.piles + jnp.where(om2 & rd, actpl[:, None, :],
+                                       jnp.zeros((), _u8)))
+    piles = jnp.where(om2 & rap, jnp.zeros((), _u8), piles)
     s = s._replace(
         piles=piles,
         n_active=jnp.where(oh_p, jnp.zeros((), _u8), s.n_active))
@@ -697,7 +748,7 @@ def _end_turn(s: EnvState, p):
     s = _select(n_draw > 0, _deck_draw(s, p, jnp.maximum(n_draw, 0)), s)
     return s._replace(
         resources=jnp.zeros(3, _f32),
-        storage_masks=jnp.where(oh_p[:, None], s.sel_mask[None],
+        storage_masks=jnp.where(_oh(p, _IOTA4[:, None]), s.sel_mask[None],
                                 s.storage_masks))
 
 
@@ -708,8 +759,7 @@ def _next_agent(s: EnvState) -> EnvState:
     nxt = jnp.where(nxt >= s.n_players, 0, nxt)
     return s._replace(
         agent=nxt,
-        sel_mask=jnp.max(jnp.where(_oh(nxt, _IOTA4)[:, None], s.storage_masks,
-                                   jnp.zeros_like(s.storage_masks)), axis=0),
+        sel_mask=_brow(s.storage_masks, nxt),
         resources=jnp.zeros(3, _f32),
         turn_counter=s.turn_counter + 1)
 
@@ -721,12 +771,11 @@ def _run_special(s: EnvState, special, p, ball) -> EnvState:
     oh_p = _oh(p, _IOTA4)
 
     def storage(s):
-        return jnp.max(jnp.where(oh_p[:, None], s.storage_masks,
-                                 jnp.zeros_like(s.storage_masks)), axis=0)
+        return _brow(s.storage_masks, p)
 
     def set_storage(s, m):
         return s._replace(storage_masks=jnp.where(
-            oh_p[:, None], m[None], s.storage_masks))
+            _oh(p, _IOTA4[:, None]), m[None], s.storage_masks))
 
     def shop_flat(s):
         return _embed(_shop_available(s, jnp.asarray(0.0, _f32)), SHOP0 + 1)
@@ -803,21 +852,28 @@ def step_core(s: EnvState, action, ball) -> EnvState:
     one8 = jnp.asarray(1, _u8)
 
     s = s._replace(
-        info_steps=s.info_steps + jnp.where(oh_p, one8, jnp.zeros((), _u8)),
+        info_steps=_wrap8(s.info_steps + jnp.where(oh_p, one8,
+                                                   jnp.zeros((), _u8))),
         phase=jnp.where(s.phase == TurnPhase.INACTIVE,
                         jnp.asarray(int(TurnPhase.MOVEMENT), _i32), s.phase),
-        steps_taken=s.steps_taken + jnp.where(oh_p, one8,
-                                              jnp.zeros((), _u8)))
+        steps_taken=_wrap8(s.steps_taken + jnp.where(oh_p, one8,
+                                                     jnp.zeros((), _u8))))
 
     b_play = a_play > 0
-    b_special = ~b_play & (a_sp > 0)
-    b_move = ~b_play & ~b_special & (a_mv > 0)
+    if _STAGE == 1:
+        return s
+    b_special = (a_play == 0) & (a_sp > 0)
+    b_move = (a_play == 0) & (a_sp == 0) & (a_mv > 0)
 
     # ---- play branch (src/environment.cpp:104-108, src/player.cpp:47-69)
     def f_play(s):
         idx = jnp.clip(a_play - 1, 0, N_CARDTYPES - 1)
-        oh_c = _oh(idx, _IOTA21).astype(_f32)
-        res_mov = oh_c @ _CARD_RES
+        # per-channel masked maxes: Mosaic's layout inference aborts on
+        # lane-3 shapes (both the (21,)@(21,3) matmul and a (21,3) reduce)
+        oh_c = _oh(idx, _IOTA21)
+        res_mov = jnp.stack([
+            jnp.max(jnp.where(oh_c, _CARD_RES[:, c], 0.0))
+            for c in range(3)])
         coin = res_mov[2]
         res_buy = s.resources + jnp.where(
             _IOTA3 == 2, jnp.where(coin > 0, coin, jnp.asarray(0.5, _f32)),
@@ -825,6 +881,24 @@ def step_core(s: EnvState, action, ball) -> EnvState:
         res = jnp.where(s.phase == TurnPhase.MOVEMENT, res_mov,
                         jnp.where(s.phase == TurnPhase.BUYING, res_buy,
                                   s.resources))
+        if _STAGE == 211:
+            return s._replace(resources=res)
+        if _STAGE == 213:
+            return s._replace(resources=s.resources + 1.0)
+        if _STAGE == 214:
+            return s._replace(resources=jnp.where(_IOTA3 == 2,
+                                                  s.resources + 1.0,
+                                                  s.resources))
+        if _STAGE == 215:
+            return s._replace(resources=jnp.where(
+                s.phase == TurnPhase.BUYING, s.resources + 1.0, s.resources))
+        if _STAGE == 216:
+            coin2 = jnp.max(jnp.where(oh_c, _CARD_RES[:, 2], 0.0))
+            return s._replace(resources=s.resources + coin2)
+        if _STAGE == 217:
+            return s._replace(resources=res_mov)
+        if _STAGE == 212:
+            return _activate(s, p, idx)
         return _activate(s._replace(resources=res), p, idx)
 
     # ---- play_special branch (src/environment.cpp:110-112)
@@ -836,39 +910,43 @@ def step_core(s: EnvState, action, ball) -> EnvState:
 
     # ---- move branch (src/environment.cpp:115-125)
     def f_move(s):
-        old_xy = jnp.max(jnp.where(oh_p[:, None], s.player_xy,
+        old_xy = jnp.max(jnp.where(_oh(p, _IOTA4[:, None]), s.player_xy,
                                    jnp.full_like(s.player_xy, -(1 << 20))),
                          axis=0)
-        dxy = jnp.max(jnp.where(_oh(a_mv, np.arange(7))[:, None], _DIR_DBL,
+        dxy = jnp.max(jnp.where(_oh(a_mv, np.arange(7)[:, None]), _DIR_DBL,
                                 jnp.full_like(_DIR_DBL, -(1 << 20))), axis=0)
         new_xy = old_xy + dxy
-        s = s._replace(player_xy=jnp.where(oh_p[:, None], new_xy[None],
+        s = s._replace(player_xy=jnp.where(_oh(p, _IOTA4[:, None]), new_xy[None],
                                            s.player_xy))
         kidx = jnp.max(jnp.where(_oh(a_mv, np.arange(7)), _PAIR[0],
                                  jnp.zeros_like(_PAIR[0])))
         req, n_req, is_end = _ball_at(ball, p, kidx)
-        free = jnp.any(s.next_move_free & oh_p)
+        free = _any1(s.next_move_free & oh_p)
 
         def handle_req(s):
             # resource requirement (src/player.cpp:141-150)
             ridx = jnp.minimum(req, 2)
             oh_r = _oh(ridx, _IOTA3)
-            left = jnp.max(jnp.where(oh_r, s.resources, -jnp.inf)) \
-                - n_req.astype(_f32)
+            left = jnp.where(
+                ridx == 0, s.resources[0],
+                jnp.where(ridx == 1, s.resources[1],
+                          s.resources[2])) - n_req.astype(_f32)
             res = jnp.where(oh_r, left, 0.0)
-            first = ~jnp.any(s.mip & oh_p)
+            first = jnp.sum((s.mip & oh_p).astype(_i32)) == 0
             with_play = _play_last_activated(s, p)._replace(
                 mip=s.mip | oh_p)
             res_state = _select(first, with_play, s)._replace(resources=res)
             # REMOVE / DISCARD hexes (src/player.cpp:151-158)
             pick_state = _pick_actives(s, p, n_req.astype(_i32), req == 3)
             pick_state = pick_state._replace(
-                resources=jnp.zeros(3, _f32), mip=s.mip & ~oh_p)
+                resources=jnp.zeros(3, _f32),
+                mip=s.mip & (_IOTA4 != p))
             out = _select(req < 3, res_state, s)
             return _select((req == 3) | (req == 4), pick_state, out)
 
         def free_move(s):
-            s = s._replace(next_move_free=s.next_move_free & ~oh_p)
+            s = s._replace(
+                next_move_free=s.next_move_free & (_IOTA4 != p))
             return _enable_playing(s, p)
 
         s = _select(free, free_move(s), handle_req(s))
@@ -878,51 +956,52 @@ def step_core(s: EnvState, action, ball) -> EnvState:
 
     # ---- else branch (src/environment.cpp:128-174)
     def f_else(s):
-        s = s._replace(next_move_free=s.next_move_free & ~oh_p)
+        s = s._replace(next_move_free=s.next_move_free & (_IOTA4 != p))
         b_shop = a_shop > 0
-        b_remove = ~b_shop & (a_rm > 0)
+        b_remove = (a_shop == 0) & (a_rm > 0)
 
         def f_shop(s):
             i = jnp.clip(a_shop - 1, 0, N_BUYABLETYPES - 1)
             oh_i = _oh(i, _IOTA18)
-            free = jnp.any(s.next_card_free & oh_p)
-            in_mkt_i = jnp.any(s.in_market & oh_i)
+            free = _any1(s.next_card_free & oh_p)
+            in_mkt_i = _any1(s.in_market & oh_i)
             # buy: reopen slot before get (src/cards.cpp:102-106)
-            n_mkt = s.n_in_market + jnp.where(
-                free, 0, 1 - in_mkt_i.astype(_i32)).astype(_u8)
+            n_mkt = _wrap8(s.n_in_market + jnp.where(
+                free, 0, 1 - in_mkt_i.astype(_i32)))
             in_mkt = jnp.where(free, s.in_market, s.in_market | oh_i)
             # get (src/cards.cpp:136-142)
-            stock = s.shop_stock - jnp.where(oh_i, one8, jnp.zeros((), _u8))
-            stock_i = jnp.max(jnp.where(oh_i, stock, jnp.zeros((), _u8)))
-            close = (stock_i == 0) & jnp.any(in_mkt & oh_i)
-            in_mkt = jnp.where(close, in_mkt & ~oh_i, in_mkt)
-            n_mkt = jnp.where(close, n_mkt - one8, n_mkt)
+            stock = _wrap8(s.shop_stock - jnp.where(oh_i, one8,
+                                                    jnp.zeros((), _u8)))
+            stock_i = jnp.max(jnp.where(oh_i, stock.astype(_i32), 0))
+            close = (stock_i == 0) & _any1(in_mkt & oh_i)
+            in_mkt = jnp.where(close, in_mkt & (_IOTA18 != i), in_mkt)
+            n_mkt = jnp.where(close, _wrap8(n_mkt - one8), n_mkt)
             card = jnp.max(jnp.where(oh_i, _SHOP_TYPE, 0))
             cost = jnp.max(jnp.where(oh_i, _SHOP_COST, 0.0))
             res = jnp.where(free, s.resources,
                             s.resources - jnp.where(_IOTA3 == 2, cost, 0.0))
             phase = jnp.where(free, s.phase, (s.phase + 1) % 3)
-            cell = oh_p[:, None] & _oh(card, _IOTA21)[None, :]
+            cell = _oh(p, _IOTA4[:, None]) & _oh(card, _IOTA21[None, :])
             return s._replace(
                 shop_stock=stock, in_market=in_mkt, n_in_market=n_mkt,
                 resources=res, phase=phase,
                 piles=_pile_add(s.piles, PILE_DISCARD,
                                 jnp.where(cell, one8, jnp.zeros((), _u8))),
-                n_added=s.n_added + jnp.where(oh_p, one8,
-                                              jnp.zeros((), _u8)))
+                n_added=_wrap8(s.n_added + jnp.where(oh_p, one8,
+                                                     jnp.zeros((), _u8))))
 
         def f_remove(s):
             idx = jnp.clip(a_rm - 1, 0, N_CARDTYPES - 1)
             s = _remove_immediate(s, p, idx)
             s = s._replace(
-                n_removes=s.n_removes - jnp.where(oh_p, one8,
-                                                  jnp.zeros((), _u8)))
+                n_removes=_wrap8(s.n_removes - jnp.where(oh_p, one8,
+                                                        jnp.zeros((), _u8))))
             rem = _get1(s.n_removes, p, _IOTA4)
             return _select(rem == 0, _enable_playing(s, p), s)
 
         def f_null(s):
             s = s._replace(phase=(s.phase + 1) % 3)
-            pending = jnp.any((s.n_removes > 0) & oh_p)
+            pending = _any1((s.n_removes > 0) & oh_p)
             cleared = _enable_playing(s._replace(
                 n_removes=jnp.where(oh_p, jnp.zeros((), _u8),
                                     s.n_removes)), p)
@@ -931,47 +1010,65 @@ def step_core(s: EnvState, action, ball) -> EnvState:
         s = _select(b_shop, f_shop(s),
                     _select(b_remove, f_remove(s), f_null(s)))
         # next_card_free tail (src/environment.cpp:170-173)
-        nc = jnp.any(s.next_card_free & oh_p)
+        nc = _any1(s.next_card_free & oh_p)
         freed = _enable_playing(
-            s._replace(next_card_free=s.next_card_free & ~oh_p), p)
+            s._replace(next_card_free=s.next_card_free & (_IOTA4 != p)),
+            p)
         return _select(nc, freed, s)
 
+    if _STAGE == 21:
+        return f_play(s)
+    if _STAGE == 22:
+        return f_special(s)
+    if _STAGE == 23:
+        return f_move(s)
+    if _STAGE == 24:
+        return f_else(s)
     s = _select(b_play, f_play(s),
                 _select(b_special, f_special(s),
                         _select(b_move, f_move(s), f_else(s))))
 
+    if _STAGE == 2:
+        return s
     # pending special id (executed after update_observation)
     special = jnp.where(
         b_special,
         _get1(_CARD_SPECIAL, jnp.clip(a_sp - 1, 0, N_CARDTYPES - 1), _IOTA21),
         0)
     special = jnp.where(
-        (~b_play & ~b_special & ~b_move) & (a_shop == 0) & (a_rm > 0)
-        & jnp.any((s.n_removes != 0) & oh_p),
+        (a_play == 0) & (a_sp == 0) & (a_mv == 0) & (a_shop == 0)
+        & (a_rm > 0)
+        & _any1((s.n_removes != 0) & oh_p),
         T.SPECIAL_SHOP_DISABLE, special)
 
     # movement_in_progress teardown (src/environment.cpp:176-179) — gated on
     # the *raw* action.move field, not the dispatched branch: a step that
     # plays a card while also carrying a nonzero move sub-action skips it.
-    tear = jnp.any(s.mip & oh_p) & (a_mv == 0)
-    s = _select(tear, s._replace(mip=s.mip & ~oh_p,
+    tear = _any1(s.mip & oh_p) & (a_mv == 0)
+    s = _select(tear, s._replace(mip=s.mip & (_IOTA4 != p),
                                  resources=jnp.zeros(3, _f32)), s)
 
+    if _STAGE == 3:
+        return s
     # maybe_end_turn (src/environment.cpp:244-250)
-    rotate = jnp.any(s.has_won & oh_p) | (s.phase == TurnPhase.INACTIVE)
+    rotate = _any1(s.has_won & oh_p) | (s.phase == TurnPhase.INACTIVE)
+    rotated_i = rotate.astype(_i32)
     s = _select(rotate, _next_agent(s), s)
     # position delta for the current agent within this step: only a
     # non-rotated mover has hopped relative to the pregathered ball
-    m_eff = jnp.where(b_move & ~rotate, a_mv, 0)
+    m_eff = jnp.where(b_move & (rotated_i == 0), a_mv, 0)
     s = _update_observation_ball(s, s.agent, ball, m_eff)
 
+    if _STAGE == 4:
+        return s
     # special function, else done check (src/environment.cpp:183-207)
     s = _select(special > 0, _run_special(s, special, s.agent, ball), s)
-    k0 = jnp.max(jnp.where(_oh(m_eff, np.arange(7)), _PAIR[:, 0],
-                           jnp.zeros_like(_PAIR[:, 0])))
+    k0 = jnp.max(jnp.where(_oh(m_eff, np.arange(7)), _PAIR[:, 0], 0))
     _, _, on_end = _ball_at(ball, s.agent, k0)
     end_now = (special == 0) & ((on_end > 0)
                                 | (s.turn_counter >= s.max_steps))
+    if _STAGE == 5:
+        return s
     n_winners = jnp.sum(s.has_won.astype(_f32))
     live = _IOTA4 < s.n_players
     returns = (s.n_players.astype(_f32) * s.has_won.astype(_f32)
@@ -1021,11 +1118,13 @@ def sample_action(rng, mask):
     tainted = jnp.bool_(False)
     for off, width in ((PLAY0, 22), (SPECIAL0, 22), (REMOVE0, 22),
                        (MOVE0, 7), (SHOP0, 19)):
-        bits = jax.lax.slice(mask, (off,), (off + width,))
-        n = jnp.sum(bits, dtype=_i32)
+        bits = jax.lax.slice(mask, (off,), (off + width,)).astype(_i32)
+        n = jnp.sum(bits)
         pos, rng, tt = R.uniform_int_fast(rng, jnp.maximum(n, 1))
         tainted = tainted | tt
-        csum = _csum_incl(bits.astype(_i32)) - bits.astype(_i32)
-        val = jnp.argmax(bits & (csum == pos.astype(_i32))).astype(_i32)
+        csum = _csum_incl(bits) - bits
+        # exactly one position matches; sum-of-index replaces bool argmax
+        match = (bits == 1) & (csum == pos.astype(_i32))
+        val = jnp.sum(jnp.where(match, np.arange(width), 0), dtype=_i32)
         outs.append(jnp.where(n > 0, val, 0))
     return jnp.stack(outs), rng, tainted

@@ -101,7 +101,7 @@ class MapGenState(NamedTuple):
     piece_rot: jnp.ndarray     # (20,) i32
     piece_center: jnp.ndarray  # (20,2) i32
     # control
-    frame_rng: jnp.ndarray     # (MAX_DEPTH,) u32
+    frame_rng: jnp.ndarray     # (MAX_DEPTH,) i32 minstd state
     frame_i: jnp.ndarray       # (MAX_DEPTH,) i32
     frame_valid: jnp.ndarray   # (MAX_DEPTH,) i32 bitmask
     frame_resume: jnp.ndarray  # (MAX_DEPTH,) i32
@@ -268,7 +268,7 @@ def generate_map(rng_state, n_pieces, difficulty) -> MapGenOut:
         min_xy=jnp.zeros((2,), _i32), max_xy=jnp.zeros((2,), _i32),
         piece_rot=jnp.zeros((20,), _i32),
         piece_center=jnp.zeros((20, 2), _i32),
-        frame_rng=jnp.full((MAX_DEPTH,), jnp.asarray(rng_state, jnp.uint32)),
+        frame_rng=jnp.full((MAX_DEPTH,), jnp.asarray(rng_state, jnp.int32)),
         frame_i=jnp.zeros((MAX_DEPTH,), _i32),
         frame_valid=jnp.zeros((MAX_DEPTH,), _i32),
         frame_resume=jnp.zeros((MAX_DEPTH,), _i32),

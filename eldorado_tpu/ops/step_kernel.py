@@ -46,23 +46,30 @@ def _feat_template(states):
             for name, leaf in zip(E.DYN_FIELDS, dyn)]
 
 
-def _to2d(leaf):
-    return leaf.reshape(leaf.shape[0], -1)
+def _scal2d(leaf):
+    """Scalar per-env leaves ride as (N, 1); everything else keeps its
+    native shape (Mosaic rejects reshapes that cross the lane dim)."""
+    return leaf[:, None] if leaf.ndim == 1 else leaf
+
+
+def _boxed(leaf):
+    """Bools cross the pallas boundary as i32 (Mosaic cannot truncate the
+    i8-stored bool loads to i1)."""
+    leaf = _scal2d(leaf)
+    return leaf.astype(_i32) if leaf.dtype == jnp.bool_ else leaf
 
 
 def _step_values(feat, mask_src, *flat):
-    """Pure (values -> values) fused sample+step on one env block. All
-    inputs/outputs are 2-D (B, F) arrays; closure_convert hoists captured
-    table constants."""
+    """Pure (values -> values) fused sample+step on one env block. Inputs
+    arrive in their natural (block,)+feature shapes and dtypes; the kernel
+    wrapper does all boundary canonicalisation (Mosaic-safe squeezes and
+    bool<->i32 casts)."""
     n_dyn = len(feat)
-    dyn = [v.reshape((v.shape[0],) + fshape)
-           for (name, fshape, dtype), v in zip(feat, flat[:n_dyn])]
-    srng = flat[n_dyn][:, 0]
-    breq = flat[n_dyn + 1].reshape(-1, 4, E.N_BALL)
-    bnr = flat[n_dyn + 2].reshape(-1, 4, E.N_BALL)
-    bend = flat[n_dyn + 3].reshape(-1, 4, E.N_BALL)
-    n_players = flat[n_dyn + 4][:, 0]
-    max_steps = flat[n_dyn + 5][:, 0]
+    dyn = list(flat[:n_dyn])
+    srng = flat[n_dyn]
+    breq, bnr, bend = flat[n_dyn + 1], flat[n_dyn + 2], flat[n_dyn + 3]
+    n_players = flat[n_dyn + 4]
+    max_steps = flat[n_dyn + 5]
 
     b = srng.shape[0]
     static = (jnp.zeros((b, 1, 1, 7), jnp.uint8),   # map_obs (never read)
@@ -75,10 +82,10 @@ def _step_values(feat, mask_src, *flat):
     s = E.merge_state(static, tuple(dyn))
 
     if mask_src == "storage":
-        oh = s.agent[:, None] == np.arange(4)[None, :]
+        oh = s.agent[:, None, None] == np.arange(4)[None, :, None]
         masks = jnp.max(
-            jnp.where(oh[:, :, None], s.storage_masks,
-                      jnp.zeros_like(s.storage_masks)), axis=1)
+            jnp.where(oh, s.storage_masks.astype(jnp.int32),
+                      jnp.zeros((), jnp.int32)), axis=1) > 0
     else:
         masks = s.sel_mask
     actions, srng, tainted = jax.vmap(E.sample_action)(srng, masks)
@@ -86,10 +93,7 @@ def _step_values(feat, mask_src, *flat):
     s = s._replace(rng_tainted=s.rng_tainted | tainted)
 
     _, dyn_out = E.split_state(s)
-    outs = [_to2d(v) for v in dyn_out]
-    outs.append(srng[:, None])
-    outs.append(actions.astype(_i32))
-    return tuple(outs)
+    return tuple(dyn_out) + (srng, actions.astype(_i32))
 
 
 def make_fused_step(states, mask_src: str = "storage", block: int = 256,
@@ -105,12 +109,12 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
 
     # ---- trace once on a block to extract the hoisted constants ----------
     _, dyn = E.split_state(states)
-    ex = [jnp.zeros((block,) + _to2d(x).shape[1:], x.dtype) for x in dyn]
-    ex.append(jnp.zeros((block, 1), jnp.uint32))
+    ex = [jnp.zeros((block,) + x.shape[1:], x.dtype) for x in dyn]
+    ex.append(jnp.zeros((block,), jnp.int32))
     for _ in range(3):
-        ex.append(jnp.zeros((block, 4 * E.N_BALL), _i32))
-    ex.append(jnp.zeros((block, 1), _i32))
-    ex.append(jnp.zeros((block, 1), _i32))
+        ex.append(jnp.zeros((block, 4, E.N_BALL), _i32))
+    ex.append(jnp.zeros((block,), _i32))
+    ex.append(jnp.zeros((block,), _i32))
     body = functools.partial(_step_values, feat, mask_src)
     # make_jaxpr exposes *every* captured constant (closure_convert lifts
     # only inexact dtypes); the kernel then re-evaluates the jaxpr with the
@@ -129,22 +133,46 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
             seen[key] = len(uniq)
             uniq.append(c)
         remap.append(seen[key])
-    uniq2d = [u.reshape(1, -1) if u.ndim < 2 else u for u in uniq]
+    uniq2d = [u[None] if u.ndim < 2 else u for u in uniq]
+    uniq2d = [u.astype(np.int32) if u.dtype == np.bool_ else u
+              for u in uniq2d]
 
     n_in = len(ex)
+
+    in_meta = ([(len(f) == 0, d == jnp.bool_) for _, f, d in feat]
+               + [(True, False), (False, False), (False, False),
+                  (False, False), (True, False), (True, False)])
 
     def kernel(*refs):
         ins = refs[:n_in]
         crefs = refs[n_in:n_in + len(uniq)]
         outs = refs[n_in + len(uniq):]
-        vals = [r[...] for r in ins]
-        cvals = [crefs[i][...].reshape(uniq[i].shape) for i in remap]
+        vals = []
+        for r, (scal, is_bool) in zip(ins, in_meta):
+            v = r[...]
+            if scal:
+                v = v[:, 0]          # i32 squeeze (Mosaic-safe)
+            if is_bool:
+                v = v != 0           # compare after squeeze: no i1 casts
+            vals.append(v)
+        cvals = []
+        for i in remap:
+            v = crefs[i][...][0] if uniq[i].ndim < 2 else crefs[i][...]
+            cvals.append((v != 0) if uniq[i].dtype == np.bool_ else v)
         results = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, cvals, *vals)
-        for r, v in zip(outs, results):
+        for r, v, (scal, is_bool) in zip(outs, results,
+                                         in_meta[:n_dyn] + [(True, False),
+                                                            (False, False)]):
+            if is_bool:
+                v = v.astype(_i32)
+            if scal:
+                v = v[:, None]       # i32 minor insert (Mosaic-safe)
             r[...] = v
 
-    def bspec(f):
-        return pl.BlockSpec((block, int(f)), lambda i: (i, 0),
+    def bspec(shape):
+        bs = (block,) + tuple(int(d) for d in shape[1:])
+        nd = len(bs)
+        return pl.BlockSpec(bs, lambda i, _nd=nd: (i,) + (0,) * (_nd - 1),
                             memory_space=pltpu.VMEM)
 
     def cspec(shape):
@@ -152,34 +180,41 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
         return pl.BlockSpec(shape, lambda i: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    out_feat = [_to2d(x).shape[1] for x in dyn] + [1, 5]
-    out_dtypes = [x.dtype for x in dyn] + [jnp.uint32, _i32]
+    out_shapes_full = ([jax.ShapeDtypeStruct(
+                            _scal2d(x).shape,
+                            _i32 if x.dtype == jnp.bool_ else x.dtype)
+                        for x in dyn]
+                       + [jax.ShapeDtypeStruct((n, 1), jnp.int32),
+                          jax.ShapeDtypeStruct((n, 5), _i32)])
 
     def fused(states, srngs):
         ball = jax.vmap(E._ball_cells)(states)  # XLA gather from the map
         _, dyn = E.split_state(states)
-        ins = [_to2d(x) for x in dyn]
+        ins = [_boxed(x) for x in dyn]
         ins.append(srngs[:, None])
         for part in ball:
-            ins.append(part.reshape(n, 4 * E.N_BALL))
+            ins.append(part)
         ins.append(states.n_players[:, None])
         ins.append(states.max_steps[:, None])
 
-        out_shapes = [jax.ShapeDtypeStruct((n, int(f)), dt)
-                      for f, dt in zip(out_feat, out_dtypes)]
         outs = pl.pallas_call(
             kernel,
             grid=(n // block,),
-            in_specs=([bspec(x.shape[1]) for x in ins]
+            in_specs=([bspec(x.shape) for x in ins]
                       + [cspec(u.shape) for u in uniq2d]),
-            out_specs=[bspec(sh.shape[1]) for sh in out_shapes],
-            out_shape=out_shapes,
+            out_specs=[bspec(sh.shape) for sh in out_shapes_full],
+            out_shape=out_shapes_full,
             interpret=interpret,
         )(*ins, *uniq2d)
 
-        new_dyn = tuple(
-            o.reshape((n,) + fshape)
-            for o, (_, fshape, _) in zip(outs[:n_dyn], feat))
+        new_dyn = []
+        for o, (_, fshape, fdtype) in zip(outs[:n_dyn], feat):
+            if fdtype == jnp.bool_:
+                o = o != 0
+            if len(fshape) == 0:
+                o = o[:, 0]
+            new_dyn.append(o)
+        new_dyn = tuple(new_dyn)
         static, _ = E.split_state(states)
         new_states = E.merge_state(static, new_dyn)
         return new_states, outs[n_dyn][:, 0], outs[n_dyn + 1]
