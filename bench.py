@@ -30,8 +30,8 @@ BASELINE_STEPS_PER_SEC = 10_000_000.0
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
-    ap.add_argument("--chunk", type=int, default=500)
-    ap.add_argument("--chunks", type=int, default=6)
+    ap.add_argument("--chunk", type=int, default=100)
+    ap.add_argument("--chunks", type=int, default=10)
     ap.add_argument("--players", type=int, default=4)
     ap.add_argument("--pieces", type=int, default=3)
     ap.add_argument("--difficulty", type=int, default=0)

@@ -31,7 +31,6 @@ live iterations via the loop-free two-attempt rejection kernel
 """
 from __future__ import annotations
 
-import os
 from typing import NamedTuple
 
 import jax
@@ -63,9 +62,6 @@ _f32 = jnp.float32
 def _wrap8(x):
     return x & 0xFF
 
-
-# debug bisect hook: ELD_STEP_STAGE=n truncates step_core after stage n
-_STAGE = int(os.environ.get("ELD_STEP_STAGE", "0"))
 
 # mask head offsets in the flat 92-bool mask (probe dump order)
 PLAY0, SPECIAL0, REMOVE0, MOVE0, SHOP0 = 0, 22, 44, 66, 73
@@ -146,6 +142,12 @@ def _get1(arr, i, iota):
                               jnp.zeros((), _i32)))
         return (v > 0) if dt == jnp.bool_ else v.astype(dt)
     return jnp.max(jnp.where(_oh(i, iota), arr, jnp.zeros_like(arr)))
+
+
+def _max2(x):
+    """Full max over the last two axes as two single-axis reductions —
+    Mosaic's layout inference aborts on multi-axis reductions."""
+    return jnp.max(jnp.max(x, axis=-1), axis=-1)
 
 
 def _any1(x):
@@ -392,8 +394,8 @@ def _activate(s: EnvState, p, idx):
     """Deck::activate (src/cards.cpp:242-253)."""
     oh_p = _oh(p, _IOTA4)
     oh_c = _oh(idx, _IOTA21)
-    prev = jnp.max(jnp.where(_oh(p, _IOTA4[:, None]) & oh_c[None, :],
-                             s.piles[:, PILE_HAND].astype(_i32), 0))
+    prev = _max2(jnp.where(_oh(p, _IOTA4[:, None]) & oh_c[None, :],
+                           s.piles[:, PILE_HAND].astype(_i32), 0))
     one = jnp.asarray(1, _u8)
     cell = _oh(p, _IOTA4[:, None]) & oh_c[None, :]
     neg = jnp.where(cell, -one, jnp.zeros((), _u8))
@@ -435,7 +437,7 @@ def _play_immediate(s: EnvState, p, idx):
     oh_p = _oh(p, _IOTA4)
     oh_c = _oh(idx, _IOTA21)
     cell = _oh(p, _IOTA4[:, None]) & oh_c[None, :]
-    prev = jnp.max(jnp.where(cell, s.piles[:, PILE_HAND].astype(_i32), 0))
+    prev = _max2(jnp.where(cell, s.piles[:, PILE_HAND].astype(_i32), 0))
     one = jnp.asarray(1, _u8)
     piles = _pile_add(
         _pile_add(s.piles, PILE_HAND, jnp.where(cell, -one,
@@ -455,7 +457,7 @@ def _remove_immediate(s: EnvState, p, idx):
     oh_p = _oh(p, _IOTA4)
     oh_c = _oh(idx, _IOTA21)
     cell = _oh(p, _IOTA4[:, None]) & oh_c[None, :]
-    prev = jnp.max(jnp.where(cell, s.piles[:, PILE_HAND].astype(_i32), 0))
+    prev = _max2(jnp.where(cell, s.piles[:, PILE_HAND].astype(_i32), 0))
     one = jnp.asarray(1, _u8)
     play_bit = _get1(s.sel_mask, PLAY0 + 1 + idx, _IOTA92) & (prev > 1)
     remove_bit = _get1(s.sel_mask, REMOVE0 + 1 + idx, _IOTA92) & (prev > 1)
@@ -584,9 +586,9 @@ def _ball_at(ball, p, k):
     """ball entry (req, n_req, is_end) for player p at ball index k."""
     breq, bnr, bend = ball
     m = _oh(p, _IOTA4[:, None]) & _oh(k, np.arange(N_BALL)[None, :])
-    pick = lambda a: jnp.max(jnp.where(m, a, jnp.zeros_like(a)))
+    pick = lambda a: _max2(jnp.where(m, a, jnp.zeros_like(a)))
     # req needs a min-style default of 5 (impassable), not 0
-    req = jnp.max(jnp.where(m, breq, -1))
+    req = _max2(jnp.where(m, breq, -1))
     req = jnp.where(req < 0, 5, req)
     return req, pick(bnr), pick(bend)
 
@@ -860,8 +862,6 @@ def step_core(s: EnvState, action, ball) -> EnvState:
                                                      jnp.zeros((), _u8))))
 
     b_play = a_play > 0
-    if _STAGE == 1:
-        return s
     b_special = (a_play == 0) & (a_sp > 0)
     b_move = (a_play == 0) & (a_sp == 0) & (a_mv > 0)
 
@@ -881,24 +881,6 @@ def step_core(s: EnvState, action, ball) -> EnvState:
         res = jnp.where(s.phase == TurnPhase.MOVEMENT, res_mov,
                         jnp.where(s.phase == TurnPhase.BUYING, res_buy,
                                   s.resources))
-        if _STAGE == 211:
-            return s._replace(resources=res)
-        if _STAGE == 213:
-            return s._replace(resources=s.resources + 1.0)
-        if _STAGE == 214:
-            return s._replace(resources=jnp.where(_IOTA3 == 2,
-                                                  s.resources + 1.0,
-                                                  s.resources))
-        if _STAGE == 215:
-            return s._replace(resources=jnp.where(
-                s.phase == TurnPhase.BUYING, s.resources + 1.0, s.resources))
-        if _STAGE == 216:
-            coin2 = jnp.max(jnp.where(oh_c, _CARD_RES[:, 2], 0.0))
-            return s._replace(resources=s.resources + coin2)
-        if _STAGE == 217:
-            return s._replace(resources=res_mov)
-        if _STAGE == 212:
-            return _activate(s, p, idx)
         return _activate(s._replace(resources=res), p, idx)
 
     # ---- play_special branch (src/environment.cpp:110-112)
@@ -1016,20 +998,10 @@ def step_core(s: EnvState, action, ball) -> EnvState:
             p)
         return _select(nc, freed, s)
 
-    if _STAGE == 21:
-        return f_play(s)
-    if _STAGE == 22:
-        return f_special(s)
-    if _STAGE == 23:
-        return f_move(s)
-    if _STAGE == 24:
-        return f_else(s)
     s = _select(b_play, f_play(s),
                 _select(b_special, f_special(s),
                         _select(b_move, f_move(s), f_else(s))))
 
-    if _STAGE == 2:
-        return s
     # pending special id (executed after update_observation)
     special = jnp.where(
         b_special,
@@ -1048,8 +1020,6 @@ def step_core(s: EnvState, action, ball) -> EnvState:
     s = _select(tear, s._replace(mip=s.mip & (_IOTA4 != p),
                                  resources=jnp.zeros(3, _f32)), s)
 
-    if _STAGE == 3:
-        return s
     # maybe_end_turn (src/environment.cpp:244-250)
     rotate = _any1(s.has_won & oh_p) | (s.phase == TurnPhase.INACTIVE)
     rotated_i = rotate.astype(_i32)
@@ -1059,16 +1029,12 @@ def step_core(s: EnvState, action, ball) -> EnvState:
     m_eff = jnp.where(b_move & (rotated_i == 0), a_mv, 0)
     s = _update_observation_ball(s, s.agent, ball, m_eff)
 
-    if _STAGE == 4:
-        return s
     # special function, else done check (src/environment.cpp:183-207)
     s = _select(special > 0, _run_special(s, special, s.agent, ball), s)
     k0 = jnp.max(jnp.where(_oh(m_eff, np.arange(7)), _PAIR[:, 0], 0))
     _, _, on_end = _ball_at(ball, s.agent, k0)
     end_now = (special == 0) & ((on_end > 0)
                                 | (s.turn_counter >= s.max_steps))
-    if _STAGE == 5:
-        return s
     n_winners = jnp.sum(s.has_won.astype(_f32))
     live = _IOTA4 < s.n_players
     returns = (s.n_players.astype(_f32) * s.has_won.astype(_f32)
