@@ -44,9 +44,16 @@ def main():
     jax.block_until_ready(states.map_obs)
     rngs = sampler_init(42, args.envs)
 
-    # warmup / compile
+    # warmup / compile: the rollout scan and the bucketed-reset programs
+    # (they fire mid-run when episodes finish)
+    from eldorado_tpu.vec import _RESET_BUCKETS, _reset_bucket
+    import jax.numpy as jnp
     states, rngs, _ = rollout(states, rngs, args.chunk, "storage", "none")
     jax.block_until_ready(states.rng)
+    for b in _RESET_BUCKETS[:3]:
+        if b <= args.envs:
+            warm = _reset_bucket(states, jnp.zeros(b, jnp.int32), b)
+    jax.block_until_ready(warm.rng)
 
     t0 = time.time()
     states, rngs, _ = rollout_chunked(states, rngs,
