@@ -798,9 +798,10 @@ def _run_special(s: EnvState, special, p, ball) -> EnvState:
     def f_draw_remove(s, n):
         s = _deck_draw(s, p, jnp.asarray(n, _i32))
         m = storage(s)
-        # remove head := play head (incl. index 0; src/cards.cpp:18)
-        play_as_remove = jnp.roll(m & _IN_PLAY, REMOVE0 - PLAY0)
-        m = jnp.where(_IN_REMOVE, play_as_remove, m)
+        # remove head := play head (incl. index 0; src/cards.cpp:18);
+        # slice+placement-matmul instead of a bool roll (i8 in Mosaic)
+        play_head = jax.lax.slice(m, (PLAY0,), (PLAY0 + 22,))
+        m = jnp.where(_IN_REMOVE, _embed(play_head, REMOVE0), m)
         m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), shop_flat(s), m)
         s = set_storage(s, m)
         s = _disable_playing(s)
