@@ -334,12 +334,16 @@ def make_state(seed=0, n_players=4, n_pieces=3, difficulty=0,
 def _sel_card_bits(sel, idx, play_bit, special_bit, remove_bit=None):
     """Set sel[PLAY0+1+idx], sel[SPECIAL0+1+idx] (and optionally
     sel[REMOVE0+1+idx]) in one fused pass over the flat mask."""
+    # Logical ops, not where(mask, scalar_bool, sel): Mosaic lowers a
+    # bool-scalar select operand as an i8 splat + trunci-to-i1 and rejects
+    # the truncation.
     tgt_play = _oh(PLAY0 + 1 + idx, _IOTA92)
     tgt_special = _oh(SPECIAL0 + 1 + idx, _IOTA92)
-    out = jnp.where(tgt_play, play_bit, sel)
-    out = jnp.where(tgt_special, special_bit, out)
+    out = (sel & ~tgt_play) | (tgt_play & play_bit)
+    out = (out & ~tgt_special) | (tgt_special & special_bit)
     if remove_bit is not None:
-        out = jnp.where(_oh(REMOVE0 + 1 + idx, _IOTA92), remove_bit, out)
+        tgt_rm = _oh(REMOVE0 + 1 + idx, _IOTA92)
+        out = (out & ~tgt_rm) | (tgt_rm & remove_bit)
     return out
 
 
@@ -376,9 +380,12 @@ def _deck_draw(s: EnvState, p, n):
         draw = _wrap8(draw - dlt)
         hand = _wrap8(hand + dlt)
         nid = jnp.where(live, _wrap8(nid - one), nid)
-        sel = jnp.where(live & _oh(PLAY0 + 1 + ct, _IOTA92), True, sel)
-        sel = jnp.where(live & _oh(SPECIAL0 + 1 + ct, _IOTA92),
-                        _get1(_CARD_IS_SPECIAL, ct, _IOTA21), sel)
+        # sel | cond, not where(cond, True, sel): a literal-True select
+        # lowers to an i8 splat + trunci, which Mosaic rejects.
+        sel = sel | (live & _oh(PLAY0 + 1 + ct, _IOTA92))
+        tgt_sp = live & _oh(SPECIAL0 + 1 + ct, _IOTA92)
+        sel = (sel & ~tgt_sp) | (tgt_sp
+                                 & _get1(_CARD_IS_SPECIAL, ct, _IOTA21))
     new_p = jnp.stack([draw, hand, piles_p[PILE_ACTIVE],
                        piles_p[PILE_PLAYED], discard])
     piles = jnp.where(_oh(p, _IOTA4[:, None, None]), new_p[None], s.piles)
@@ -789,8 +796,7 @@ def _run_special(s: EnvState, special, p, ball) -> EnvState:
         m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), tm, m)
         s = set_storage(s, m)
         s = _disable_playing(s)
-        return s._replace(next_card_free=jnp.where(oh_p, True,
-                                                   s.next_card_free))
+        return s._replace(next_card_free=s.next_card_free | oh_p)
 
     def f_draw(s, n):
         return _deck_draw(s, p, jnp.asarray(n, _i32))
@@ -818,8 +824,7 @@ def _run_special(s: EnvState, special, p, ball) -> EnvState:
         m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), shop_flat(s), m)
         s = set_storage(s, m)
         s = _disable_playing(s)
-        return s._replace(next_move_free=jnp.where(oh_p, True,
-                                                   s.next_move_free))
+        return s._replace(next_move_free=s.next_move_free | oh_p)
 
     def f_shop_disable(s):
         m = storage(s)

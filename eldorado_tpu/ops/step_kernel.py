@@ -96,8 +96,76 @@ def _step_values(feat, mask_src, *flat):
     return tuple(dyn_out) + (srng, actions.astype(_i32))
 
 
+_CMP_PRIMS = frozenset({"eq", "ne", "lt", "le", "gt", "ge"})
+_LOGIC_PRIMS = frozenset({"and", "or", "xor"})
+_SHAPE_PRIMS = frozenset({"broadcast_in_dim", "slice", "reshape",
+                          "squeeze", "transpose", "concatenate", "rev"})
+
+
+def _eval_boolfree(jaxpr, consts, *args):
+    """eval_jaxpr with a bool-free calling convention: every bool value is
+    carried as an i32 0/1 tensor.  Mosaic's apply-vector-layout pass lowers
+    several i1-vector ops (selects, broadcasts, strided slices) by extending
+    masks to i8 and truncating back, and ``arith.trunci`` to i1 is
+    unsupported on TPU — this transform leaves i1 only as the same-shape
+    result of a compare feeding directly into a select, which lowers
+    natively.  Callers must pass bool leaves as i32 and get i32 back."""
+    from jax.extend import core as jex_core
+    env = {}
+
+    def read(v):
+        if isinstance(v, jex_core.Literal):
+            if np.asarray(v.val).dtype == np.bool_:
+                return jnp.asarray(np.asarray(v.val).astype(np.int32))
+            return v.val
+        return env[v]
+
+    for v, c in zip(jaxpr.constvars, consts):
+        env[v] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+    for eqn in jaxpr.eqns:
+        invals = [read(v) for v in eqn.invars]
+        prim = eqn.primitive
+        name = prim.name
+        out_bool = any(v.aval.dtype == jnp.bool_ for v in eqn.outvars)
+        if name in _CMP_PRIMS:
+            out = [prim.bind(*invals, **eqn.params).astype(_i32)]
+        elif name == "not":
+            out = [invals[0] ^ 1]
+        elif name in _LOGIC_PRIMS and out_bool:
+            out = [prim.bind(*invals, **eqn.params)]
+        elif name in _SHAPE_PRIMS and out_bool:
+            out = [prim.bind(*invals, **eqn.params)]
+        elif name == "select_n" and eqn.invars[0].aval.dtype == jnp.bool_:
+            out = [prim.bind(invals[0] != 0, *invals[1:], **eqn.params)]
+        elif name == "convert_element_type":
+            src_bool = eqn.invars[0].aval.dtype == jnp.bool_
+            if eqn.params["new_dtype"] == jnp.bool_:
+                out = [invals[0] if src_bool
+                       else (invals[0] != 0).astype(_i32)]
+            elif src_bool:
+                out = [invals[0].astype(eqn.params["new_dtype"])]
+            else:
+                out = [prim.bind(*invals, **eqn.params)]
+        elif name in ("pjit", "closed_call", "core_call", "jit"):
+            sub = eqn.params["jaxpr"]
+            out = _eval_boolfree(sub.jaxpr, sub.consts, *invals)
+        else:
+            if out_bool or any(
+                    getattr(v, "dtype", None) == jnp.bool_ for v in invals):
+                raise NotImplementedError(
+                    f"boolfree transform: unhandled primitive {name}")
+            out = prim.bind(*invals, **eqn.params)
+            if not prim.multiple_results:
+                out = [out]
+        for v, o in zip(eqn.outvars, out):
+            env[v] = o
+    return [read(v) for v in jaxpr.outvars]
+
+
 def make_fused_step(states, mask_src: str = "storage", block: int = 256,
-                    interpret: bool = False):
+                    interpret: bool = False, debug: bool = False):
     """Build a (states, srngs) -> (states, srngs, actions) fused step for
     this batch shape. ``block`` envs per kernel instance (grid over
     N/block)."""
@@ -147,23 +215,23 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
         ins = refs[:n_in]
         crefs = refs[n_in:n_in + len(uniq)]
         outs = refs[n_in + len(uniq):]
+        # boolfree convention: bool leaves stay i32 0/1 through the whole
+        # jaxpr evaluation (see _eval_boolfree) — no i1 loads/stores at all.
         vals = []
         for r, (scal, is_bool) in zip(ins, in_meta):
             v = r[...]
             if scal:
                 v = v[:, 0]          # i32 squeeze (Mosaic-safe)
-            if is_bool:
-                v = v != 0           # compare after squeeze: no i1 casts
             vals.append(v)
         cvals = []
         for i in remap:
             v = crefs[i][...][0] if uniq[i].ndim < 2 else crefs[i][...]
-            cvals.append((v != 0) if uniq[i].dtype == np.bool_ else v)
-        results = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, cvals, *vals)
+            cvals.append(v)
+        results = _eval_boolfree(closed_jaxpr.jaxpr, cvals, *vals)
         for r, v, (scal, is_bool) in zip(outs, results,
                                          in_meta[:n_dyn] + [(True, False),
                                                             (False, False)]):
-            if is_bool:
+            if v.dtype == jnp.bool_:
                 v = v.astype(_i32)
             if scal:
                 v = v[:, None]       # i32 minor insert (Mosaic-safe)
@@ -205,6 +273,10 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
             out_specs=[bspec(sh.shape) for sh in out_shapes_full],
             out_shape=out_shapes_full,
             interpret=interpret,
+            debug=debug,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(*ins, *uniq2d)
 
         new_dyn = []
