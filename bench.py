@@ -2,15 +2,23 @@
 """Headline benchmark: lockstep env throughput (sample + step) on one chip.
 
 Mirrors the reference's asv ``TimeEnvs.time_run`` workload (reference:
-benchmarks/benchmarks.py:5-51): masked-random self-play at max_steps=100000
-(episodes never truncate within the run, matching the reference bench where
-the C++ envs never reset during timing). The rollout is a jitted lax.scan —
-sample, step, batch-gated auto-reset — dispatched in chunks.
+benchmarks/benchmarks.py:5-51): masked-random self-play at max_steps=100000.
+Finished episodes auto-reset between scan chunks (bucketed sparse reset);
+the per-step work is the full sample+step+mask pipeline either as
+
+  * ``--backend kernel`` (default): one fused Pallas step kernel launch per
+    step (ops/step_kernel.py) — bit-exact vs the XLA path
+    (tests/test_step_kernel.py, tools/tpu_kernel_check.py), or
+  * ``--backend xla``: the jitted vmapped engine step.
+
+If the kernel backend fails to build on the current toolchain the bench
+falls back to XLA and says so in the JSON line ("backend": "xla-fallback").
 
 Prints ONE JSON line:
   {"metric": ..., "value": steps/s, "unit": "env-steps/s", "vs_baseline": r}
 vs_baseline is against BASELINE.json's target of 10M env-steps/s/chip at
 4096 lockstep envs (the reference repo publishes no absolute numbers).
+``--sweep`` / ``--all-modes`` print extra per-config lines to stderr first.
 """
 import argparse
 import json
@@ -27,6 +35,50 @@ import jax  # noqa: E402
 BASELINE_STEPS_PER_SEC = 10_000_000.0
 
 
+def _prewarm_resets(states, n_envs):
+    """Compile the bucketed-reset programs that fire mid-run."""
+    import jax.numpy as jnp
+    from eldorado_tpu.vec import _RESET_BUCKETS, _reset_bucket
+    warm = None
+    for b in _RESET_BUCKETS[:3]:
+        if b <= n_envs:
+            warm = _reset_bucket(states, jnp.zeros(b, jnp.int32), b)
+    if warm is not None:
+        jax.block_until_ready(warm.rng)
+
+
+def run_config(envs, chunk, chunks, players, pieces, difficulty, backend,
+               block):
+    """Returns (steps_per_sec, actual_backend, episodes)."""
+    from eldorado_tpu.vec import rollout_chunked, sampler_init, vec_reset
+
+    states = vec_reset(12345, envs, players, pieces, difficulty, 100000)
+    jax.block_until_ready(states.map_obs)
+    rngs = sampler_init(42, envs)
+
+    if backend == "kernel":
+        try:
+            s, r, _ = rollout_chunked(states, rngs, chunk, chunk,
+                                      backend="kernel", block=block)
+            jax.block_until_ready(s.rng)
+        except Exception as e:  # Mosaic/toolchain failure: fall back
+            print(f"kernel backend failed ({type(e).__name__}: {e}); "
+                  "falling back to XLA", file=sys.stderr)
+            backend = "xla-fallback"
+    if backend.startswith("xla"):
+        s, r, _ = rollout_chunked(states, rngs, chunk, chunk, backend="xla")
+        jax.block_until_ready(s.rng)
+    _prewarm_resets(states, envs)
+
+    kb = "kernel" if backend == "kernel" else "xla"
+    t0 = time.time()
+    states, rngs, episodes = rollout_chunked(
+        states, rngs, chunk * chunks, chunk, backend=kb, block=block)
+    jax.block_until_ready(states.rng)
+    dt = time.time() - t0
+    return envs * chunk * chunks / dt, backend, episodes
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
@@ -35,39 +87,41 @@ def main():
     ap.add_argument("--players", type=int, default=4)
     ap.add_argument("--pieces", type=int, default=3)
     ap.add_argument("--difficulty", type=int, default=0)
+    ap.add_argument("--backend", choices=["kernel", "xla"], default="kernel")
+    ap.add_argument("--block", type=int, default=256)
+    ap.add_argument("--sweep", action="store_true",
+                    help="also time an env-count sweep (stderr)")
+    ap.add_argument("--all-modes", action="store_true",
+                    help="also time the other backend (stderr)")
     args = ap.parse_args()
 
-    from eldorado_tpu.vec import rollout, rollout_chunked, sampler_init, vec_reset
+    if args.sweep:
+        for n in (256, 1024, 4096, 16384):
+            sps, be, eps = run_config(n, args.chunk, args.chunks,
+                                      args.players, args.pieces,
+                                      args.difficulty, args.backend,
+                                      min(args.block, n))
+            print(f"sweep {be}@{n}: {sps:,.0f} steps/s "
+                  f"({eps} episodes)", file=sys.stderr)
+    if args.all_modes:
+        other = "xla" if args.backend == "kernel" else "kernel"
+        sps, be, eps = run_config(args.envs, args.chunk, args.chunks,
+                                  args.players, args.pieces,
+                                  args.difficulty, other,
+                                  min(args.block, args.envs))
+        print(f"mode {be}@{args.envs}: {sps:,.0f} steps/s "
+              f"({eps} episodes)", file=sys.stderr)
 
-    states = vec_reset(12345, args.envs, args.players, args.pieces,
-                       args.difficulty, 100000)
-    jax.block_until_ready(states.map_obs)
-    rngs = sampler_init(42, args.envs)
-
-    # warmup / compile: the rollout scan and the bucketed-reset programs
-    # (they fire mid-run when episodes finish)
-    from eldorado_tpu.vec import _RESET_BUCKETS, _reset_bucket
-    import jax.numpy as jnp
-    states, rngs, _ = rollout(states, rngs, args.chunk, "storage", "none")
-    jax.block_until_ready(states.rng)
-    for b in _RESET_BUCKETS[:3]:
-        if b <= args.envs:
-            warm = _reset_bucket(states, jnp.zeros(b, jnp.int32), b)
-    jax.block_until_ready(warm.rng)
-
-    t0 = time.time()
-    states, rngs, _ = rollout_chunked(states, rngs,
-                                      args.chunk * args.chunks, args.chunk)
-    jax.block_until_ready(states.rng)
-    dt = time.time() - t0
-
-    total = args.envs * args.chunk * args.chunks
-    sps = total / dt
+    sps, backend, episodes = run_config(
+        args.envs, args.chunk, args.chunks, args.players, args.pieces,
+        args.difficulty, args.backend, min(args.block, args.envs))
     print(json.dumps({
         "metric": f"env_steps_per_sec@{args.envs}envs",
         "value": round(sps, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 4),
+        "backend": backend,
+        "episodes_reset_mid_run": episodes,
     }))
     return 0
 

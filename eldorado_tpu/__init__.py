@@ -19,15 +19,18 @@ Public surface:
 * `eldorado_tpu.ops.rng` — bit-exact libstdc++ minstd_rand0 /
   uniform_int_distribution streams.
 """
-from . import constants
+from . import constants, errors
 from .constants import Difficulty
-from .vec import (VecEnv, kernel_rollout, rollout, rollout_chunked,
-                  sampler_init, vec_reset, vec_sample, vec_step)
+from .errors import GenerateMapFailure, MapCapacityError
+from .vec import (VecEnv, check_map_generation, kernel_rollout, rollout,
+                  rollout_chunked, sampler_init, vec_reset, vec_sample,
+                  vec_step)
 
 __all__ = [
-    "constants", "Difficulty",
+    "constants", "errors", "Difficulty",
+    "GenerateMapFailure", "MapCapacityError",
     "VecEnv", "vec_reset", "vec_step", "vec_sample", "sampler_init",
-    "rollout", "rollout_chunked", "kernel_rollout",
+    "rollout", "rollout_chunked", "kernel_rollout", "check_map_generation",
 ]
 
 __version__ = "0.2.0"

@@ -103,6 +103,33 @@ class cog_env:
                            n_pieces=int(n_pieces), difficulty=int(difficulty),
                            max_steps=int(max_steps))
         self._render = bool(render)
+        self._bufs = None
+
+    def init(self, observations, info, rewards, selected_action_masks):
+        """Wire caller-owned numpy buffers (reference:
+        src/pybind/single_env.cpp:19-21, environment.cpp:25-40). The
+        reference env writes through pointers; here the buffers are synced
+        after every reset/step."""
+        observations = np.asarray(observations).reshape(())
+        info = np.asarray(info).reshape(())
+        rewards = np.asarray(rewards, np.float32).reshape(MAX_N_PLAYERS)
+        selected_action_masks = np.asarray(
+            selected_action_masks).reshape(())
+        if (observations.dtype != obs_dtype or info.dtype != info_dtype
+                or selected_action_masks.dtype != action_mask_dtype):
+            raise TypeError("init() expects obs_dtype / info_dtype / "
+                            "float32[4] / action_mask_dtype buffers")
+        self._bufs = (observations, info, rewards, selected_action_masks)
+        self._sync()
+
+    def _sync(self):
+        if self._bufs is None:
+            return
+        obs, info, rewards, mask = self._bufs
+        obs[()] = self.observations
+        info[()] = self.infos
+        rewards[:] = self._env.rewards
+        mask[()] = self.selected_action_mask
 
     def reset(self, seed=None, n_players=None, n_pieces=None,
               difficulty=None, max_steps=None, render=None):
@@ -113,9 +140,23 @@ class cog_env:
         else:
             self._env.reset(int(seed), int(n_players), int(n_pieces),
                             int(difficulty), int(max_steps))
+        self._sync()
 
     def step(self, action):
         self._env.step(_action_to_vec(action))
+        self._sync()
+
+    def get_map(self):
+        """Reference parity: cog_env::get_map (include/environment.h:61)
+        returns the board object (the C++ binding declares it but never
+        registers Map with pybind; here the host-side map twin is returned
+        and actually usable)."""
+        return self._env.map
+
+    @property
+    def agent_selection(self):
+        """src/pybind/single_env.cpp:18."""
+        return int(self._env.agent)
 
     def render(self):
         if not self._render:

@@ -214,6 +214,7 @@ class EnvState(NamedTuple):
     min_xy: jnp.ndarray         # (2,) i32 doubled
     player_xy: jnp.ndarray      # (4,2) i32 doubled
     map_ok: jnp.ndarray         # bool
+    map_overflow: jnp.ndarray   # bool: procgen hit a fixed-capacity cap
     # decks
     piles: jnp.ndarray          # (4,5,21) u8
     n_in_hand: jnp.ndarray      # (4,) u8
@@ -309,6 +310,7 @@ def make_state(seed=0, n_players=4, n_pieces=3, difficulty=0,
         min_xy=jnp.zeros(2, _i32),
         player_xy=jnp.zeros((4, 2), _i32),
         map_ok=jnp.bool_(True),
+        map_overflow=jnp.bool_(False),
         piles=jnp.zeros((4, 5, N_CARDTYPES), _u8),
         n_in_hand=z4u8, n_active=z4u8, n_in_draw=z4u8, idx_last=z4u8,
         has_won=jnp.zeros(4, bool), mip=jnp.zeros(4, bool),
@@ -705,7 +707,7 @@ def reset_env(s: EnvState) -> EnvState:
         agent=jnp.asarray(0, _i32),
         phase=jnp.asarray(int(TurnPhase.INACTIVE), _i32),
         map_obs=gen.obs, min_xy=gen.min_xy,
-        map_ok=gen.ok)
+        map_ok=gen.ok, map_overflow=gen.overflow)
 
     def pbody(p, s):
         return _select(p < s.n_players, _player_reset(s, p), s)
@@ -1063,7 +1065,8 @@ def step_core(s: EnvState, action, ball) -> EnvState:
 # Fields the step never writes (static across steps; only reset touches
 # them). vec.py keeps these out of the lax.scan carry; the Pallas kernel
 # never receives them at all (map reads are pregathered ball cells).
-STATIC_FIELDS = ("map_obs", "min_xy", "map_ok", "n_players", "n_pieces",
+STATIC_FIELDS = ("map_obs", "min_xy", "map_ok", "map_overflow",
+                 "n_players", "n_pieces",
                  "difficulty", "max_steps")
 DYN_FIELDS = tuple(f for f in EnvState._fields if f not in STATIC_FIELDS)
 

@@ -118,6 +118,9 @@ class MapGenOut(NamedTuple):
     player_start_xy: jnp.ndarray  # (MAX_N_PLAYERS, 2) i32 doubled
     player_start_no: jnp.ndarray  # (MAX_N_PLAYERS,) i32 hex start numbers
     ok: jnp.ndarray           # bool
+    overflow: jnp.ndarray     # bool: fixed-capacity bust (MAX_PLACED/OCC),
+    #                           an engine limitation — distinct from the
+    #                           reference's legit generate_map_failure
     n_entries: jnp.ndarray    # i32 (diagnostics)
 
 
@@ -376,4 +379,10 @@ def generate_map(rng_state, n_pieces, difficulty) -> MapGenOut:
                      player_start_xy=s.hex_xy[:MAX_N_PLAYERS],
                      player_start_no=starts,
                      ok=~(s.aborted | s.overflow),
+                     # aborted wins: the reference's mid-loop retry stacks a
+                     # fresh map onto the old one without clearing
+                     # (src/map.cpp:716-731), so doomed retries legitimately
+                     # hit MAX_PLACED on the way to the throw — only an
+                     # overflow in a *finished* generation is a capacity bust
+                     overflow=s.overflow & ~s.aborted,
                      n_entries=s.n_entries)

@@ -106,8 +106,9 @@ class MinstdRng:
                 return r // scaling
 
 
-class GenerateMapFailure(RuntimeError):
-    pass
+# canonical definition lives in eldorado_tpu.errors (shared with the JAX
+# vec path's host-side check); re-exported here for back-compat
+from ..errors import GenerateMapFailure  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

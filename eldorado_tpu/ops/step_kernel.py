@@ -46,24 +46,25 @@ def _feat_template(states):
             for name, leaf in zip(E.DYN_FIELDS, dyn)]
 
 
-def _scal2d(leaf):
-    """Scalar per-env leaves ride as (N, 1); everything else keeps its
-    native shape (Mosaic rejects reshapes that cross the lane dim)."""
-    return leaf[:, None] if leaf.ndim == 1 else leaf
+def _scal2d_t(leaf):
+    """Scalar per-env leaves ride as (1, N) — one sublane row with envs in
+    the lane dim; everything else keeps its env-minor shape."""
+    return leaf[None, :] if leaf.ndim == 1 else leaf
 
 
-def _boxed(leaf):
+def _boxed_t(leaf):
     """Bools cross the pallas boundary as i32 (Mosaic cannot truncate the
     i8-stored bool loads to i1)."""
-    leaf = _scal2d(leaf)
+    leaf = _scal2d_t(leaf)
     return leaf.astype(_i32) if leaf.dtype == jnp.bool_ else leaf
 
 
 def _step_values(feat, mask_src, *flat):
-    """Pure (values -> values) fused sample+step on one env block. Inputs
-    arrive in their natural (block,)+feature shapes and dtypes; the kernel
-    wrapper does all boundary canonicalisation (Mosaic-safe squeezes and
-    bool<->i32 casts)."""
+    """Pure (values -> values) fused sample+step on one env block, traced in
+    the ordinary env-MAJOR layout (batch leading).  The kernel evaluates the
+    resulting jaxpr through `_eval_kernel`, which re-lays every batched value
+    out env-minor — the trace stays the proven bit-exact one; only the
+    storage layout inside the kernel changes."""
     n_dyn = len(feat)
     dyn = list(flat[:n_dyn])
     srng = flat[n_dyn]
@@ -75,6 +76,7 @@ def _step_values(feat, mask_src, *flat):
     static = (jnp.zeros((b, 1, 1, 7), jnp.uint8),   # map_obs (never read)
               jnp.zeros((b, 2), _i32),              # min_xy (never read)
               jnp.ones((b,), bool),                 # map_ok (never read)
+              jnp.zeros((b,), bool),                # map_overflow (never read)
               n_players,
               jnp.zeros((b,), _i32),                # n_pieces (never read)
               jnp.zeros((b,), _i32),                # difficulty (never read)
@@ -97,70 +99,228 @@ def _step_values(feat, mask_src, *flat):
 
 
 _CMP_PRIMS = frozenset({"eq", "ne", "lt", "le", "gt", "ge"})
-_LOGIC_PRIMS = frozenset({"and", "or", "xor"})
-_SHAPE_PRIMS = frozenset({"broadcast_in_dim", "slice", "reshape",
-                          "squeeze", "transpose", "concatenate", "rev"})
+_ELTWISE_PRIMS = frozenset({
+    "add", "sub", "mul", "div", "rem", "neg", "sign", "max", "min",
+    "and", "or", "xor", "shift_left", "shift_right_logical",
+    "shift_right_arithmetic", "select_n", "abs", "floor", "ceil", "round",
+    "exp", "log", "integer_pow", "pow",
+})
+_CALL_PRIMS = frozenset({"pjit", "closed_call", "core_call", "jit"})
+
+_DEBUG_SHAPES = False  # set True to assert rotated-layout invariants per eqn
+_DEBUG_PROD = {}
 
 
-def _eval_boolfree(jaxpr, consts, *args):
-    """eval_jaxpr with a bool-free calling convention: every bool value is
-    carried as an i32 0/1 tensor.  Mosaic's apply-vector-layout pass lowers
-    several i1-vector ops (selects, broadcasts, strided slices) by extending
-    masks to i8 and truncating back, and ``arith.trunci`` to i1 is
-    unsupported on TPU — this transform leaves i1 only as the same-shape
-    result of a compare feeding directly into a select, which lowers
-    natively.  Callers must pass bool leaves as i32 and get i32 back."""
+def _rot(d, rank):
+    """Original dim index -> index after rotating dim 0 to last."""
+    return rank - 1 if d == 0 else d - 1
+
+
+def _align_eltwise(invals, inbat, eqn):
+    """Elementwise/compare/select prims use implicit numpy trailing-dim
+    broadcasting.  Batched operands are stored rotated (env last), so an
+    unbatched non-scalar operand must be re-aligned: right-align it to the
+    original output rank (its leading slot is never the batch) and rotate
+    the padded shape the same way."""
+    if not any(inbat):
+        return invals
+    orank = max(len(v.aval.shape) for v in eqn.outvars)
+    fixed = []
+    for val, bat in zip(invals, inbat):
+        ndim = np.ndim(val)
+        if bat or ndim == 0 or ndim == orank == 1:
+            fixed.append(val)
+        else:
+            s = tuple(np.shape(val))
+            pad = (1,) * (orank - len(s)) + s
+            assert pad[0] == 1, (pad, "const aligned with the batch axis")
+            fixed.append(jnp.reshape(val, pad[1:] + (1,)))
+    return fixed
+
+
+def _eval_kernel(jaxpr, consts, block, *args):
+    """Evaluate the env-major step jaxpr with two value-level transforms that
+    Mosaic needs, without re-tracing the (bit-exactness-proven) game logic:
+
+    * **bool-free**: every bool is carried as an i32 0/1 tensor.  Mosaic's
+      apply-vector-layout lowers i1-vector selects/broadcasts/slices via an
+      i8 extension + `arith.trunci` back to i1, and that truncation is
+      unsupported — here i1 exists only as the same-shape result of a
+      compare feeding a select, which lowers natively.
+    * **batch-minor**: every batched value (leading dim == ``block`` in the
+      original trace) is stored with the env axis rotated to LAST, so the
+      128 lanes of each (8,128) vreg tile hold 128 envs at full utilisation.
+      Env-major (block,4,5,21) piles tile at ~4% lane use; env-minor
+      (4,5,21,block) at 100%.  `vmap(in_axes=-1)` cannot produce this form —
+      JAX's batching rules canonicalise batch dims towards axis 0, emitting
+      lane-crossing relayouts — so the rotation is applied here, per
+      primitive, with dimension parameters remapped.
+
+    Constants stay unrotated (none has a ``block``-sized axis — asserted at
+    build time).  Inputs/outputs use the rotated layout for rank>=2 batched
+    leaves ((b,) scalars are rotation-invariant).
+    """
     from jax.extend import core as jex_core
     env = {}
 
     def read(v):
         if isinstance(v, jex_core.Literal):
             if np.asarray(v.val).dtype == np.bool_:
-                return jnp.asarray(np.asarray(v.val).astype(np.int32))
-            return v.val
+                return jnp.asarray(np.asarray(v.val).astype(np.int32)), False
+            return v.val, False
         return env[v]
 
     for v, c in zip(jaxpr.constvars, consts):
-        env[v] = c
+        env[v] = (c, False)
     for v, a in zip(jaxpr.invars, args):
-        env[v] = a
+        env[v] = a if isinstance(a, tuple) else (a, True)
+
     for eqn in jaxpr.eqns:
-        invals = [read(v) for v in eqn.invars]
+        pairs = [read(v) for v in eqn.invars]
+        invals = [p[0] for p in pairs]
+        inbat = [p[1] for p in pairs]
         prim = eqn.primitive
         name = prim.name
+        params = eqn.params
+        if _DEBUG_SHAPES:
+            for var, (val, bat) in zip(eqn.invars, pairs):
+                av = tuple(getattr(var.aval, "shape", ()))
+                vs = tuple(np.shape(val))
+                exp = (av[1:] + (av[0],)) if (bat and len(av) >= 2) else av
+                assert vs == exp, (
+                    f"{name}: aval {av} bat {bat} got {vs}\n"
+                    f"producer: {_DEBUG_PROD.get(var)}\neqn: {eqn}")
         out_bool = any(v.aval.dtype == jnp.bool_ for v in eqn.outvars)
+        batched = any(inbat)
+
         if name in _CMP_PRIMS:
-            out = [prim.bind(*invals, **eqn.params).astype(_i32)]
+            a = _align_eltwise(invals, inbat, eqn)
+            out = [prim.bind(*a, **params).astype(_i32)]
         elif name == "not":
             out = [invals[0] ^ 1]
-        elif name in _LOGIC_PRIMS and out_bool:
-            out = [prim.bind(*invals, **eqn.params)]
-        elif name in _SHAPE_PRIMS and out_bool:
-            out = [prim.bind(*invals, **eqn.params)]
         elif name == "select_n" and eqn.invars[0].aval.dtype == jnp.bool_:
-            out = [prim.bind(invals[0] != 0, *invals[1:], **eqn.params)]
+            a = _align_eltwise(invals, inbat, eqn)
+            out = [prim.bind(a[0] != 0, *a[1:], **params)]
+        elif name in _ELTWISE_PRIMS:
+            out = [prim.bind(*_align_eltwise(invals, inbat, eqn), **params)]
         elif name == "convert_element_type":
             src_bool = eqn.invars[0].aval.dtype == jnp.bool_
-            if eqn.params["new_dtype"] == jnp.bool_:
+            if params["new_dtype"] == jnp.bool_:
                 out = [invals[0] if src_bool
                        else (invals[0] != 0).astype(_i32)]
             elif src_bool:
-                out = [invals[0].astype(eqn.params["new_dtype"])]
+                out = [invals[0].astype(params["new_dtype"])]
             else:
-                out = [prim.bind(*invals, **eqn.params)]
-        elif name in ("pjit", "closed_call", "core_call", "jit"):
-            sub = eqn.params["jaxpr"]
-            out = _eval_boolfree(sub.jaxpr, sub.consts, *invals)
+                out = [prim.bind(*invals, **params)]
+        elif name == "broadcast_in_dim":
+            oshape = tuple(params["shape"])
+            obat = batched or (len(oshape) > 0 and oshape[0] == block)
+            if not obat:
+                out = [prim.bind(*invals, **params)]
+            else:
+                r = len(oshape)
+                assert oshape[0] == block, (oshape, block)
+                nshape = oshape[1:] + (oshape[0],)
+                obd = params["broadcast_dimensions"]
+                if inbat[0]:
+                    # batched operand: its orig dim 0 (batch) sits last in
+                    # the rotated layout and maps to the rotated batch slot
+                    assert obd and obd[0] == 0, (obd,)
+                    nbd = tuple(o - 1 for o in obd[1:]) + (r - 1,)
+                else:
+                    # constant operand broadcast INTO the batch: feature
+                    # dims shift down one; nothing maps to the batch slot
+                    assert 0 not in obd, (obd,)
+                    nbd = tuple(o - 1 for o in obd)
+                out = [jax.lax.broadcast_in_dim(invals[0], nshape, nbd)]
+        elif name in ("reduce_sum", "reduce_max", "reduce_min",
+                      "reduce_prod", "reduce_and", "reduce_or"):
+            if not batched:
+                out = [prim.bind(*invals, **params)]
+            else:
+                r = len(eqn.invars[0].aval.shape)
+                axes = params["axes"]
+                assert 0 not in axes, "batch axis is never reduced"
+                out = [prim.bind(invals[0],
+                                 **{**params,
+                                    "axes": tuple(a - 1 for a in axes)})]
+        elif name == "reshape":
+            if not batched:
+                out = [prim.bind(*invals, **params)]
+            else:
+                ns = tuple(params["new_sizes"])
+                assert params.get("dimensions") is None
+                assert ns and ns[0] == block, ns
+                # trailing-batch reshape commutes: linear index =
+                # feat_lin * block + env on both sides
+                out = [jax.lax.reshape(invals[0], ns[1:] + (block,))]
+        elif name == "squeeze":
+            if not batched:
+                out = [prim.bind(*invals, **params)]
+            else:
+                dims = params["dimensions"]
+                assert 0 not in dims
+                out = [prim.bind(invals[0],
+                                 dimensions=tuple(d - 1 for d in dims))]
+        elif name == "slice":
+            if not batched:
+                out = [prim.bind(*invals, **params)]
+            else:
+                st, li = params["start_indices"], params["limit_indices"]
+                sd = params["strides"] or (1,) * len(st)
+                out = [jax.lax.slice(invals[0],
+                                     tuple(st[1:]) + (st[0],),
+                                     tuple(li[1:]) + (li[0],),
+                                     tuple(sd[1:]) + (sd[0],))]
+        elif name == "concatenate":
+            if not batched:
+                out = [prim.bind(*invals, **params)]
+            else:
+                d = params["dimension"]
+                assert d != 0, "batch axis is never concatenated"
+                out = [prim.bind(*invals, dimension=d - 1)]
+        elif name == "dot_general":
+            ((lc, rc), (lb, rb)) = params["dimension_numbers"]
+            assert not lb and not rb, "batched dot_general not in step"
+            lhs, rhs = invals
+            if inbat[0] and not inbat[1]:
+                # orig (b,F)@(F,G) -> rotated (G,b) = Bt(G,F) @ lhs_t(F,b)
+                assert lc == (1,) and rc == (0,), params["dimension_numbers"]
+                bt = jnp.swapaxes(rhs, 0, 1)
+                out = [jax.lax.dot_general(
+                    bt, lhs, (((1,), (0,)), ((), ())),
+                    precision=params.get("precision"),
+                    preferred_element_type=params.get(
+                        "preferred_element_type"))]
+            elif not batched:
+                out = [prim.bind(*invals, **params)]
+            else:
+                raise NotImplementedError("dot_general form in step jaxpr")
+        elif name in _CALL_PRIMS:
+            sub = params["jaxpr"]
+            sub_out = _eval_kernel(sub.jaxpr, sub.consts, block,
+                                   *zip(invals, inbat))
+            for v, o in zip(eqn.outvars, sub_out):
+                env[v] = o
+            continue
         else:
             if out_bool or any(
                     getattr(v, "dtype", None) == jnp.bool_ for v in invals):
                 raise NotImplementedError(
-                    f"boolfree transform: unhandled primitive {name}")
-            out = prim.bind(*invals, **eqn.params)
+                    f"kernel transform: unhandled bool primitive {name}")
+            if batched:
+                raise NotImplementedError(
+                    f"kernel transform: unhandled batched primitive {name}")
+            out = prim.bind(*invals, **params)
             if not prim.multiple_results:
                 out = [out]
+        ob = batched or (name == "broadcast_in_dim"
+                         and len(params["shape"]) > 0
+                         and params["shape"][0] == block)
         for v, o in zip(eqn.outvars, out):
-            env[v] = o
+            env[v] = (o, ob)
+            if _DEBUG_SHAPES:
+                _DEBUG_PROD[v] = eqn
     return [read(v) for v in jaxpr.outvars]
 
 
@@ -176,6 +336,7 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
     n_dyn = len(feat)
 
     # ---- trace once on a block to extract the hoisted constants ----------
+    # (env-major, exactly like the XLA path; the kernel evaluator rotates)
     _, dyn = E.split_state(states)
     ex = [jnp.zeros((block,) + x.shape[1:], x.dtype) for x in dyn]
     ex.append(jnp.zeros((block,), jnp.int32))
@@ -204,6 +365,10 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
     uniq2d = [u[None] if u.ndim < 2 else u for u in uniq]
     uniq2d = [u.astype(np.int32) if u.dtype == np.bool_ else u
               for u in uniq2d]
+    # batch detection in _eval_kernel keys on axis extent == block; no
+    # hoisted constant may alias it
+    assert all(block not in u.shape for u in uniq), \
+        f"hoisted constant has a {block}-sized axis; pick another block size"
 
     n_in = len(ex)
 
@@ -221,26 +386,28 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
         for r, (scal, is_bool) in zip(ins, in_meta):
             v = r[...]
             if scal:
-                v = v[:, 0]          # i32 squeeze (Mosaic-safe)
+                v = v[0]             # (1, b) -> (b,): sublane squeeze
             vals.append(v)
         cvals = []
         for i in remap:
             v = crefs[i][...][0] if uniq[i].ndim < 2 else crefs[i][...]
             cvals.append(v)
-        results = _eval_boolfree(closed_jaxpr.jaxpr, cvals, *vals)
+        results = [p[0] for p in
+                   _eval_kernel(closed_jaxpr.jaxpr, cvals, block, *vals)]
         for r, v, (scal, is_bool) in zip(outs, results,
                                          in_meta[:n_dyn] + [(True, False),
                                                             (False, False)]):
             if v.dtype == jnp.bool_:
                 v = v.astype(_i32)
             if scal:
-                v = v[:, None]       # i32 minor insert (Mosaic-safe)
+                v = v[None]          # (b,) -> (1, b): sublane insert
             r[...] = v
 
     def bspec(shape):
-        bs = (block,) + tuple(int(d) for d in shape[1:])
+        """Block over the trailing env axis; feature dims ride whole."""
+        bs = tuple(int(d) for d in shape[:-1]) + (block,)
         nd = len(bs)
-        return pl.BlockSpec(bs, lambda i, _nd=nd: (i,) + (0,) * (_nd - 1),
+        return pl.BlockSpec(bs, lambda i, _nd=nd: (0,) * (_nd - 1) + (i,),
                             memory_space=pltpu.VMEM)
 
     def cspec(shape):
@@ -248,22 +415,28 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
         return pl.BlockSpec(shape, lambda i: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    def _tshape(x):
+        # env-major (n, f...) leaf -> transposed full buffer (f..., n)
+        return tuple(int(d) for d in x.shape[1:]) + (n,)
+
     out_shapes_full = ([jax.ShapeDtypeStruct(
-                            _scal2d(x).shape,
+                            _tshape(x) if x.ndim > 1 else (1, n),
                             _i32 if x.dtype == jnp.bool_ else x.dtype)
                         for x in dyn]
-                       + [jax.ShapeDtypeStruct((n, 1), jnp.int32),
-                          jax.ShapeDtypeStruct((n, 5), _i32)])
+                       + [jax.ShapeDtypeStruct((1, n), jnp.int32),
+                          jax.ShapeDtypeStruct((5, n), _i32)])
 
     def fused(states, srngs):
         ball = jax.vmap(E._ball_cells)(states)  # XLA gather from the map
         _, dyn = E.split_state(states)
-        ins = [_boxed(x) for x in dyn]
-        ins.append(srngs[:, None])
+        # XLA-side transposes to env-minor: ~2x dynamic-state bytes per
+        # step, trivial next to the kernel itself
+        ins = [_boxed_t(jnp.moveaxis(x, 0, -1)) for x in dyn]
+        ins.append(srngs[None, :])
         for part in ball:
-            ins.append(part)
-        ins.append(states.n_players[:, None])
-        ins.append(states.max_steps[:, None])
+            ins.append(jnp.moveaxis(part, 0, -1))
+        ins.append(states.n_players[None, :])
+        ins.append(states.max_steps[None, :])
 
         outs = pl.pallas_call(
             kernel,
@@ -283,12 +456,11 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
         for o, (_, fshape, fdtype) in zip(outs[:n_dyn], feat):
             if fdtype == jnp.bool_:
                 o = o != 0
-            if len(fshape) == 0:
-                o = o[:, 0]
+            o = o[0] if len(fshape) == 0 else jnp.moveaxis(o, -1, 0)
             new_dyn.append(o)
         new_dyn = tuple(new_dyn)
         static, _ = E.split_state(states)
         new_states = E.merge_state(static, new_dyn)
-        return new_states, outs[n_dyn][:, 0], outs[n_dyn + 1]
+        return new_states, outs[n_dyn][0], outs[n_dyn + 1].T
 
     return fused

@@ -111,7 +111,7 @@ def render_env(env, color=True) -> str:
                             env.n_players, color))
     parts.append("")
     parts.append(render_shop(env.shop_stock, color))
-    parts.append(f"\ncurrently playing: {env.agent} "
+    parts.append(f"\ncurrent player: {env.agent} "
                  f"(phase {int(env.phase)}, resources "
                  f"{np.asarray(env.resources).tolist()})")
     parts.append(render_deck(env.piles[env.agent], color))

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 from .core import engine as E
 from .ops import rng as R
 
-__all__ = ["VecEnv", "vec_reset", "vec_step", "vec_sample", "rollout"]
+__all__ = ["VecEnv", "vec_reset", "vec_step", "vec_sample", "rollout",
+           "rollout_chunked", "kernel_rollout", "sampler_init",
+           "reset_done", "reset_done_bucketed", "check_map_generation"]
 
 
 def _batch_select(pred, a, b):
@@ -40,14 +42,40 @@ def _batch_select(pred, a, b):
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
-def vec_reset(seed, n_envs, n_players=4, n_pieces=3, difficulty=0,
-              max_steps=100000):
-    """vec_cog_env::reset(seed, ...): env i is seeded with seed + i
-    (include/vec_environment.h:38-44)."""
+def _vec_reset(seed, n_envs, n_players=4, n_pieces=3, difficulty=0,
+               max_steps=100000):
     seeds = jnp.asarray(seed, jnp.uint32) + jnp.arange(n_envs, dtype=jnp.uint32)
     make = jax.vmap(
         lambda s: E.make_state(s, n_players, n_pieces, difficulty, max_steps))
     return jax.vmap(E.reset_env)(make(seeds))
+
+
+def check_map_generation(states):
+    """Raise if any env's last map generation failed (the jit-side analogue
+    of the reference throwing generate_map_failure out of reset,
+    src/map.cpp:736-740). Blocks on the two scalar flags."""
+    import numpy as np
+    from .errors import GenerateMapFailure, MapCapacityError
+    if bool(np.asarray(states.map_overflow).any()):
+        raise MapCapacityError(
+            "map generation overflowed a fixed capacity (MAX_PLACED/OCC); "
+            "raise the caps in core/mapgen.py for these reset parameters")
+    if not bool(np.asarray(states.map_ok).all()):
+        raise GenerateMapFailure(
+            "map generation failed more than MAX_FAILURES times "
+            "(reference: generate_map_failure)")
+    return states
+
+
+def vec_reset(seed, n_envs, n_players=4, n_pieces=3, difficulty=0,
+              max_steps=100000, check_maps=True):
+    """vec_cog_env::reset(seed, ...): env i is seeded with seed + i
+    (include/vec_environment.h:38-44). Unless ``check_maps=False``, raises
+    `errors.GenerateMapFailure`/`errors.MapCapacityError` when any env's
+    procgen failed, mirroring the reference throw."""
+    states = _vec_reset(seed, n_envs, n_players, n_pieces, difficulty,
+                        max_steps)
+    return check_map_generation(states) if check_maps else states
 
 
 _vstep = jax.vmap(E.step_env)
@@ -175,7 +203,7 @@ def _reset_bucket(states, idxs, bucket: int):
         lambda x, y: x.at[idxs].set(y), states, sub)
 
 
-def reset_done_bucketed(states, done=None):
+def reset_done_bucketed(states, done=None, check_maps=True):
     """Host-driven sparse auto-reset: resets exactly the done envs using the
     smallest padded bucket. Returns (states, n_episodes)."""
     import numpy as np
@@ -187,10 +215,14 @@ def reset_done_bucketed(states, done=None):
     bucket = next((b for b in _RESET_BUCKETS if b >= len(idxs)),
                   None)
     if bucket is None:
-        return reset_done(states), int(len(idxs))
-    pad = np.full(bucket, idxs[0], idxs.dtype)
-    pad[: len(idxs)] = idxs
-    return _reset_bucket(states, jnp.asarray(pad), bucket), int(len(idxs))
+        states = reset_done(states)
+    else:
+        pad = np.full(bucket, idxs[0], idxs.dtype)
+        pad[: len(idxs)] = idxs
+        states = _reset_bucket(states, jnp.asarray(pad), bucket)
+    if check_maps:
+        check_map_generation(states)
+    return states, int(len(idxs))
 
 
 _KERNEL_CACHE = {}
@@ -230,17 +262,26 @@ def kernel_rollout(states, sampler_rngs, n_steps: int,
 
 
 def rollout_chunked(states, sampler_rngs, n_steps: int, chunk: int = 100,
-                    mask_src: str = "storage"):
+                    mask_src: str = "storage", backend: str = "xla",
+                    block: int = 256):
     """High-throughput driver: dispatch `chunk`-step scans and auto-reset
     finished envs between dispatches. The host-side `any(done)` check makes
     the reset program free on chunks where no episode ended; otherwise only
     the done envs are regenerated (bucketed). Done envs dead-step until
-    their chunk boundary."""
+    their chunk boundary.
+
+    backend: "xla" scans the vmapped step; "kernel" scans the fused Pallas
+    step kernel (ops/step_kernel.py) — same trajectory either way (the
+    kernel is bit-exact vs the XLA path, tests/test_step_kernel.py)."""
     import numpy as np
     episodes = 0
     for _ in range(max(1, n_steps // chunk)):
-        states, sampler_rngs, _ = rollout(states, sampler_rngs, chunk,
-                                          mask_src, "none")
+        if backend == "kernel":
+            states, sampler_rngs, _ = kernel_rollout(
+                states, sampler_rngs, chunk, mask_src, block)
+        else:
+            states, sampler_rngs, _ = rollout(states, sampler_rngs, chunk,
+                                              mask_src, "none")
         done = np.asarray(states.done)
         if done.any():
             states, n = reset_done_bucketed(states, done)

@@ -1,10 +1,12 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Sharding tests need multiple devices; parity math is platform-independent.
-Must run before jax initializes its backends. The axon TPU plugin registers
-itself from sitecustomize whenever PALLAS_AXON_POOL_IPS is set and overrides
-JAX_PLATFORMS, so it must be cleared too — otherwise the whole suite silently
-runs through the single-chip TPU tunnel.
+The axon TPU plugin registers itself from sitecustomize at *interpreter
+startup* (it imports jax before any conftest runs) whenever
+PALLAS_AXON_POOL_IPS is set, and pins JAX_PLATFORMS=axon — so simply setting
+env vars here is too late. Instead: update the config, drop any
+already-initialized backends, and let the CPU client re-initialize lazily
+with the virtual-device flag.
 """
 import os
 
@@ -18,6 +20,13 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+_xb._clear_backends()
 
 
 def pytest_configure(config):

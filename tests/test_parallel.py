@@ -1,0 +1,99 @@
+"""Sharded rollout == single-device rollout, bit for bit, plus runner
+contract checks (build-once caching, step/sample/sync).
+
+Runs on the conftest-provided virtual 8-device CPU mesh — the same named-axis
+sharding code path that compiles for any pod-slice shape (parallel/mesh.py).
+Mirrors the reference's runner integration tests (pytest/test_vec_env.py
+sequential-vs-async equivalence; include/runner.h:93-100 contract).
+"""
+import jax
+import numpy as np
+import pytest
+
+from eldorado_tpu import vec
+from eldorado_tpu.core import engine as E
+from eldorado_tpu.parallel import mesh as M
+from eldorado_tpu.parallel import runner as R
+
+N = 16
+STEPS = 30
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return M.make_mesh(8)
+
+
+def _states():
+    states = vec.vec_reset(5, N, 4, 2, 0, 100000)
+    rngs = vec.sampler_init(11, N)
+    return states, rngs
+
+
+def test_sharded_rollout_matches_single_device(mesh8):
+    states, rngs = _states()
+    ss, rs, _stats = R.sharded_rollout(
+        mesh8, M.shard_envs(states, mesh8),
+        jax.device_put(rngs, M.env_sharding(mesh8)), STEPS)
+    su, ru, _traj = vec.rollout(states, rngs, STEPS, auto_reset="step")
+    assert np.array_equal(np.asarray(rs), np.asarray(ru))
+    for name in E.EnvState._fields:
+        assert np.array_equal(np.asarray(getattr(ss, name)),
+                              np.asarray(getattr(su, name))), name
+
+
+def test_sharded_stats_feed(mesh8):
+    states, rngs = _states()
+    # short max_steps forces episode ends -> nonzero psum'd stats
+    # (max_steps counts *turns* — next_agent calls — not env steps, so a
+    # cap of 8 turns ends within ~40-60 random steps)
+    states = vec.vec_reset(5, N, 4, 2, 0, 8)
+    _, _, stats = R.sharded_rollout(
+        mesh8, M.shard_envs(states, mesh8),
+        jax.device_put(rngs, M.env_sharding(mesh8)), 100)
+    assert int(stats["episodes"]) > 0
+    assert int(stats["steps"]) == 100
+
+
+def test_runner_contract_and_no_retrace(mesh8):
+    runner = R.ShardedRunner(mesh8, N)
+    runner.reset(seed=3, n_pieces=2, max_steps=100000)
+
+    # sample/step/sync surface (runner.h:93-100)
+    a0 = np.asarray(runner.sample())
+    assert a0.shape == (N, 5)
+    runner.step()
+    runner.sync()
+    runner.step_sync()
+
+    before = R._trace_count[0]
+    for _ in range(3):
+        runner.sample()
+        runner.step_sync()
+    assert R._trace_count[0] == before, "repeat step/sample retraced"
+
+    stats = runner.rollout(10)
+    before = R._trace_count[0]
+    runner.rollout(10)
+    assert R._trace_count[0] == before, "repeat rollout retraced"
+    assert int(stats["steps"]) == 10
+
+
+def test_runner_matches_vec_env(mesh8):
+    """sample()+step() through the runner == VecEnv.sample()+step()."""
+    runner = R.ShardedRunner(mesh8, N)
+    runner.reset(seed=9, n_pieces=2)
+
+    env = vec.VecEnv(N)
+    env.reset(seed=9, n_pieces=2)
+
+    for _ in range(20):
+        a1 = np.asarray(runner.sample())
+        a2 = np.asarray(env.sample())
+        assert np.array_equal(a1, a2)
+        runner.step_sync()
+        env.step(a2)
+    for name in E.EnvState._fields:
+        assert np.array_equal(np.asarray(getattr(runner.states, name)),
+                              np.asarray(getattr(env.states, name))), name

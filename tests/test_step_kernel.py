@@ -41,15 +41,15 @@ def test_kernel_matches_xla(mask_src):
 
 def test_kernel_block_partitioning():
     """Multiple grid blocks produce the same result as one block."""
-    n = 8
+    n = 16
     states = vec_reset(11, n, 2, 3, 1, 100000)
     srngs = sampler_init(5, n)
-    f_one = jax.jit(make_fused_step(states, "storage", block=8,
+    f_one = jax.jit(make_fused_step(states, "storage", block=16,
                                     interpret=True))
-    f_four = jax.jit(make_fused_step(states, "storage", block=4,
-                                     interpret=True))
+    f_two = jax.jit(make_fused_step(states, "storage", block=8,
+                                    interpret=True))
     s1, r1, a1 = f_one(states, srngs)
-    s2, r2, a2 = f_four(states, srngs)
+    s2, r2, a2 = f_two(states, srngs)
     assert np.array_equal(np.asarray(a1), np.asarray(a2))
     assert np.array_equal(np.asarray(r1), np.asarray(r2))
     for name in E.EnvState._fields:
