@@ -1,0 +1,231 @@
+"""Build-time jaxpr optimisation for the fused step kernel.
+
+Mosaic executes each primitive of the traced step as a separate vector op —
+there is no XLA fusion/CSE inside a Pallas kernel — so the jaxpr itself must
+be lean. This module flattens the step jaxpr (inlining pjit/call prims) into
+a plain node list and runs three classic passes over it:
+
+* **constant folding**: subgraphs reachable only from trace-time constants
+  are evaluated once on the host at build time; their results join the
+  hoisted-constant pool (the reference's static tables are closed over by
+  the engine, so the raw trace recomputes table transposes/broadcasts per
+  kernel invocation — ~hundreds of ops).
+* **CSE**: structurally identical nodes (same prim, operands, params) are
+  deduplicated (~20% of the step trace: per-player loops re-emit identical
+  one-hot/broadcast chains).
+* **DCE**: nodes whose results never reach an output are dropped.
+
+The passes are value-level only — no game logic is touched; bit-exactness
+is re-validated against the XLA path by tests/test_step_kernel.py.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_CALL_PRIMS = frozenset({"pjit", "closed_call", "core_call", "jit"})
+
+# folding must never materialise a constant big enough to hurt VMEM (the
+# pool is replicated into every kernel instance)
+_FOLD_MAX_ELEMS = 1 << 16
+
+
+class Var:
+    """Flat-IR value with the original trace aval."""
+    __slots__ = ("aval",)
+
+    def __init__(self, aval):
+        self.aval = aval
+
+
+class Node:
+    __slots__ = ("prim", "params", "inrefs", "in_avals", "outvars")
+
+    def __init__(self, prim, params, inrefs, in_avals, outvars):
+        self.prim = prim
+        self.params = params
+        self.inrefs = inrefs      # list of ("v", Var) | ("k", int)
+        self.in_avals = in_avals  # original avals of the operands
+        self.outvars = outvars    # list of Var
+
+
+class Plan:
+    """Flattened + optimised step program.
+
+    nodes: topologically ordered Node list
+    pool: list of np arrays (deduped constants; index = ("k", i) refs)
+    invars: list of Var for the jaxpr inputs (positional)
+    outrefs: list of ("v", Var) | ("k", int) for the jaxpr outputs
+    """
+    __slots__ = ("nodes", "pool", "invars", "outrefs")
+
+    def __init__(self, nodes, pool, invars, outrefs):
+        self.nodes = nodes
+        self.pool = pool
+        self.invars = invars
+        self.outrefs = outrefs
+
+
+def _params_key(params):
+    out = []
+    for k, v in sorted(params.items()):
+        try:
+            hash(v)
+            out.append((k, v))
+        except TypeError:
+            out.append((k, str(v)))
+    return tuple(out)
+
+
+class _Pool:
+    def __init__(self):
+        self.vals = []
+        self._idx = {}
+
+    def add(self, val):
+        a = np.asarray(val)
+        key = (a.dtype.str, a.shape, a.tobytes())
+        if key not in self._idx:
+            self._idx[key] = len(self.vals)
+            self.vals.append(a)
+        return self._idx[key]
+
+
+def _flatten(closed_jaxpr, pool):
+    """Inline all call prims; literals and trace constants go to the pool."""
+    from jax.extend import core as jex_core
+    nodes = []
+
+    def ref_of(v, env):
+        if isinstance(v, jex_core.Literal):
+            return ("k", pool.add(v.val))
+        return env[v]
+
+    def walk(jaxpr, consts, env):
+        for v, c in zip(jaxpr.constvars, consts):
+            env[v] = ("k", pool.add(c))
+        for eqn in jaxpr.eqns:
+            inrefs = [ref_of(v, env) for v in eqn.invars]
+            if eqn.primitive.name in _CALL_PRIMS:
+                sub = eqn.params["jaxpr"]
+                senv = dict(zip(sub.jaxpr.invars, inrefs))
+                outs = walk(sub.jaxpr, sub.consts, senv)
+                for ov, o in zip(eqn.outvars, outs):
+                    env[ov] = o
+                continue
+            outvars = [Var(ov.aval) for ov in eqn.outvars]
+            nodes.append(Node(eqn.primitive, eqn.params, inrefs,
+                              [iv.aval for iv in eqn.invars], outvars))
+            for ov, nv in zip(eqn.outvars, outvars):
+                env[ov] = ("v", nv)
+        return [ref_of(v, env) for v in jaxpr.outvars]
+
+    invars = [Var(v.aval) for v in closed_jaxpr.jaxpr.invars]
+    env = {v: ("v", nv)
+           for v, nv in zip(closed_jaxpr.jaxpr.invars, invars)}
+    outrefs = walk(closed_jaxpr.jaxpr, closed_jaxpr.consts, env)
+    return nodes, invars, outrefs
+
+
+def _fold(nodes, pool, block):
+    """Evaluate all-constant nodes eagerly on the host."""
+    kept = []
+    repl = {}  # Var -> ("k", idx)
+
+    def res(ref):
+        return repl.get(ref[1], ref) if ref[0] == "v" else ref
+
+    for node in nodes:
+        inrefs = [res(r) for r in node.inrefs]
+        node.inrefs = inrefs
+        total = sum(int(np.prod(ov.aval.shape)) for ov in node.outvars)
+        foldable = (all(r[0] == "k" for r in inrefs)
+                    and total <= _FOLD_MAX_ELEMS
+                    and not any(block in ov.aval.shape
+                                for ov in node.outvars))
+        if foldable:
+            try:
+                vals = [pool.vals[r[1]] for r in inrefs]
+                out = node.prim.bind(*[jnp.asarray(v) for v in vals],
+                                     **node.params)
+                if not node.prim.multiple_results:
+                    out = [out]
+                for ov, o in zip(node.outvars, out):
+                    repl[ov] = ("k", pool.add(np.asarray(o)))
+                continue
+            except Exception:
+                pass  # unfoldable prim: keep symbolic
+        kept.append(node)
+    return kept, repl
+
+
+def _cse(nodes):
+    """Structural dedup: same prim + operand identities + params."""
+    kept = []
+    seen = {}
+    repl = {}
+
+    def res(ref):
+        return repl.get(ref[1], ref) if ref[0] == "v" else ref
+
+    for node in nodes:
+        node.inrefs = [res(r) for r in node.inrefs]
+        ids = tuple(r[1] if r[0] == "k" else id(r[1]) for r in node.inrefs)
+        tags = tuple(r[0] for r in node.inrefs)
+        key = (node.prim.name, tags, ids, _params_key(node.params))
+        prev = seen.get(key)
+        if prev is not None:
+            for ov, pv in zip(node.outvars, prev.outvars):
+                repl[ov] = ("v", pv)
+            continue
+        seen[key] = node
+        kept.append(node)
+    return kept, repl
+
+
+def _dce(nodes, outrefs):
+    live = {r[1] for r in outrefs if r[0] == "v"}
+    kept = []
+    for node in reversed(nodes):
+        if any(ov in live for ov in node.outvars):
+            kept.append(node)
+            live.update(r[1] for r in node.inrefs if r[0] == "v")
+    kept.reverse()
+    return kept
+
+
+def build_plan(closed_jaxpr, block) -> Plan:
+    """flatten -> fold -> CSE -> DCE; also prunes the pool to used consts."""
+    pool = _Pool()
+    nodes, invars, outrefs = _flatten(closed_jaxpr, pool)
+    n0 = len(nodes)
+    nodes, repl_f = _fold(nodes, pool, block)
+    nodes, repl_c = _cse(nodes)
+
+    def res(ref):
+        if ref[0] != "v":
+            return ref
+        ref = repl_f.get(ref[1], ref)
+        if ref[0] != "v":
+            return ref
+        return repl_c.get(ref[1], ref)
+
+    outrefs = [res(r) for r in outrefs]
+    nodes = _dce(nodes, outrefs)
+
+    # prune pool to constants still referenced
+    used = sorted({r[1] for n in nodes for r in n.inrefs if r[0] == "k"}
+                  | {r[1] for r in outrefs if r[0] == "k"})
+    remap = {old: new for new, old in enumerate(used)}
+    new_pool = [pool.vals[i] for i in used]
+    for n in nodes:
+        n.inrefs = [("k", remap[r[1]]) if r[0] == "k" else r
+                    for r in n.inrefs]
+    outrefs = [("k", remap[r[1]]) if r[0] == "k" else r for r in outrefs]
+
+    import logging
+    logging.getLogger(__name__).info(
+        "step-kernel plan: %d -> %d nodes (%d consts)", n0, len(nodes),
+        len(new_pool))
+    return Plan(nodes, new_pool, invars, outrefs)

@@ -138,9 +138,11 @@ def _align_eltwise(invals, inbat, eqn):
     return fixed
 
 
-def _eval_kernel(jaxpr, consts, block, *args):
-    """Evaluate the env-major step jaxpr with two value-level transforms that
-    Mosaic needs, without re-tracing the (bit-exactness-proven) game logic:
+def _eval_kernel(plan, block, inline_consts, hoisted, *args):
+    """Evaluate the optimised step plan (ops/jaxpr_opt.py: the env-major
+    step jaxpr flattened, constant-folded, CSE'd and DCE'd) with two
+    value-level transforms that Mosaic needs, without re-tracing the
+    (bit-exactness-proven) game logic:
 
     * **bool-free**: every bool is carried as an i32 0/1 tensor.  Mosaic's
       apply-vector-layout lowers i1-vector selects/broadcasts/slices via an
@@ -159,37 +161,38 @@ def _eval_kernel(jaxpr, consts, block, *args):
     Constants stay unrotated (none has a ``block``-sized axis — asserted at
     build time).  Inputs/outputs use the rotated layout for rank>=2 batched
     leaves ((b,) scalars are rotation-invariant).
+
+    ``inline_consts``/``hoisted`` resolve the plan's ("k", i) refs: scalars
+    are inlined into the program (Mosaic allows scalar constants), arrays
+    arrive as replicated VMEM refs.
     """
-    from jax.extend import core as jex_core
     env = {}
 
-    def read(v):
-        if isinstance(v, jex_core.Literal):
-            if np.asarray(v.val).dtype == np.bool_:
-                return jnp.asarray(np.asarray(v.val).astype(np.int32)), False
-            return v.val, False
-        return env[v]
+    def read(ref):
+        if ref[0] == "k":
+            i = ref[1]
+            v = inline_consts[i]
+            return (v if v is not None else hoisted[i]), False
+        return env[ref[1]]
 
-    for v, c in zip(jaxpr.constvars, consts):
-        env[v] = (c, False)
-    for v, a in zip(jaxpr.invars, args):
+    for v, a in zip(plan.invars, args):
         env[v] = a if isinstance(a, tuple) else (a, True)
 
-    for eqn in jaxpr.eqns:
-        pairs = [read(v) for v in eqn.invars]
+    for eqn in plan.nodes:
+        pairs = [read(r) for r in eqn.inrefs]
         invals = [p[0] for p in pairs]
         inbat = [p[1] for p in pairs]
-        prim = eqn.primitive
+        prim = eqn.prim
         name = prim.name
         params = eqn.params
         if _DEBUG_SHAPES:
-            for var, (val, bat) in zip(eqn.invars, pairs):
-                av = tuple(getattr(var.aval, "shape", ()))
+            for aval, (val, bat) in zip(eqn.in_avals, pairs):
+                av = tuple(getattr(aval, "shape", ()))
                 vs = tuple(np.shape(val))
                 exp = (av[1:] + (av[0],)) if (bat and len(av) >= 2) else av
                 assert vs == exp, (
-                    f"{name}: aval {av} bat {bat} got {vs}\n"
-                    f"producer: {_DEBUG_PROD.get(var)}\neqn: {eqn}")
+                    f"{name}: aval {av} bat {bat} got {vs}\neqn: {name} "
+                    f"{params}")
         out_bool = any(v.aval.dtype == jnp.bool_ for v in eqn.outvars)
         batched = any(inbat)
 
@@ -198,13 +201,13 @@ def _eval_kernel(jaxpr, consts, block, *args):
             out = [prim.bind(*a, **params).astype(_i32)]
         elif name == "not":
             out = [invals[0] ^ 1]
-        elif name == "select_n" and eqn.invars[0].aval.dtype == jnp.bool_:
+        elif name == "select_n" and eqn.in_avals[0].dtype == jnp.bool_:
             a = _align_eltwise(invals, inbat, eqn)
             out = [prim.bind(a[0] != 0, *a[1:], **params)]
         elif name in _ELTWISE_PRIMS:
             out = [prim.bind(*_align_eltwise(invals, inbat, eqn), **params)]
         elif name == "convert_element_type":
-            src_bool = eqn.invars[0].aval.dtype == jnp.bool_
+            src_bool = eqn.in_avals[0].dtype == jnp.bool_
             if params["new_dtype"] == jnp.bool_:
                 out = [invals[0] if src_bool
                        else (invals[0] != 0).astype(_i32)]
@@ -238,7 +241,6 @@ def _eval_kernel(jaxpr, consts, block, *args):
             if not batched:
                 out = [prim.bind(*invals, **params)]
             else:
-                r = len(eqn.invars[0].aval.shape)
                 axes = params["axes"]
                 assert 0 not in axes, "batch axis is never reduced"
                 out = [prim.bind(invals[0],
@@ -296,13 +298,6 @@ def _eval_kernel(jaxpr, consts, block, *args):
                 out = [prim.bind(*invals, **params)]
             else:
                 raise NotImplementedError("dot_general form in step jaxpr")
-        elif name in _CALL_PRIMS:
-            sub = params["jaxpr"]
-            sub_out = _eval_kernel(sub.jaxpr, sub.consts, block,
-                                   *zip(invals, inbat))
-            for v, o in zip(eqn.outvars, sub_out):
-                env[v] = o
-            continue
         else:
             if out_bool or any(
                     getattr(v, "dtype", None) == jnp.bool_ for v in invals):
@@ -319,9 +314,7 @@ def _eval_kernel(jaxpr, consts, block, *args):
                          and params["shape"][0] == block)
         for v, o in zip(eqn.outvars, out):
             env[v] = (o, ob)
-            if _DEBUG_SHAPES:
-                _DEBUG_PROD[v] = eqn
-    return [read(v) for v in jaxpr.outvars]
+    return [read(r) for r in plan.outrefs]
 
 
 def make_fused_step(states, mask_src: str = "storage", block: int = 256,
@@ -346,22 +339,25 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
     ex.append(jnp.zeros((block,), _i32))
     body = functools.partial(_step_values, feat, mask_src)
     # make_jaxpr exposes *every* captured constant (closure_convert lifts
-    # only inexact dtypes); the kernel then re-evaluates the jaxpr with the
-    # constants bound to replicated kernel inputs.
+    # only inexact dtypes); build_plan then flattens + folds + CSEs + DCEs
+    # the trace, and the kernel re-evaluates the plan with the surviving
+    # array constants bound to replicated kernel inputs.
     closed_jaxpr = jax.make_jaxpr(body)(*ex)
-    consts = closed_jaxpr.consts
+    from .jaxpr_opt import build_plan
+    plan = build_plan(closed_jaxpr, block)
 
-    # dedupe identical constant arrays (the triangular cumsum matmuls alone
-    # appear ~30x)
-    uniq, remap = [], []
-    seen = {}
-    for c in consts:
-        c = np.asarray(c)
-        key = (c.dtype.str, c.shape, c.tobytes())
-        if key not in seen:
-            seen[key] = len(uniq)
+    # ("k", i) refs resolve to either an inlined scalar (Mosaic allows
+    # scalar constants) or a replicated VMEM input (arrays; bool -> i32,
+    # 1-D ridden as (1, n))
+    inline_consts, hoist_idx, uniq = [], {}, []
+    for i, c in enumerate(plan.pool):
+        if c.ndim == 0:
+            v = np.int32(c) if c.dtype == np.bool_ else c[()]
+            inline_consts.append(v)
+        else:
+            inline_consts.append(None)
+            hoist_idx[i] = len(uniq)
             uniq.append(c)
-        remap.append(seen[key])
     uniq2d = [u[None] if u.ndim < 2 else u for u in uniq]
     uniq2d = [u.astype(np.int32) if u.dtype == np.bool_ else u
               for u in uniq2d]
@@ -381,19 +377,19 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
         crefs = refs[n_in:n_in + len(uniq)]
         outs = refs[n_in + len(uniq):]
         # boolfree convention: bool leaves stay i32 0/1 through the whole
-        # jaxpr evaluation (see _eval_boolfree) — no i1 loads/stores at all.
+        # jaxpr evaluation (see _eval_kernel) — no i1 loads/stores at all.
         vals = []
         for r, (scal, is_bool) in zip(ins, in_meta):
             v = r[...]
             if scal:
                 v = v[0]             # (1, b) -> (b,): sublane squeeze
             vals.append(v)
-        cvals = []
-        for i in remap:
-            v = crefs[i][...][0] if uniq[i].ndim < 2 else crefs[i][...]
-            cvals.append(v)
+        hoisted = {}
+        for i, j in hoist_idx.items():
+            v = crefs[j][...][0] if uniq[j].ndim < 2 else crefs[j][...]
+            hoisted[i] = v
         results = [p[0] for p in
-                   _eval_kernel(closed_jaxpr.jaxpr, cvals, block, *vals)]
+                   _eval_kernel(plan, block, inline_consts, hoisted, *vals)]
         for r, v, (scal, is_bool) in zip(outs, results,
                                          in_meta[:n_dyn] + [(True, False),
                                                             (False, False)]):
@@ -404,10 +400,12 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
             r[...] = v
 
     def bspec(shape):
-        """Block over the trailing env axis; feature dims ride whole."""
-        bs = tuple(int(d) for d in shape[:-1]) + (block,)
-        nd = len(bs)
-        return pl.BlockSpec(bs, lambda i, _nd=nd: (0,) * (_nd - 1) + (i,),
+        """Blocks ride a leading grid axis: buffers are (n_blocks, f...,
+        block) so every window starts at lane 0 — windowing the env axis
+        itself (lane offsets 256·i) makes Mosaic relayout every load/store
+        (~3x per-block cost, measured)."""
+        bs = (None,) + tuple(int(d) for d in shape[1:])
+        return pl.BlockSpec(bs, lambda i: (i,) + (0,) * (len(bs) - 1),
                             memory_space=pltpu.VMEM)
 
     def cspec(shape):
@@ -415,28 +413,47 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
         return pl.BlockSpec(shape, lambda i: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    nb = n // block
+
     def _tshape(x):
-        # env-major (n, f...) leaf -> transposed full buffer (f..., n)
-        return tuple(int(d) for d in x.shape[1:]) + (n,)
+        # env-major (n, f...) leaf -> blocked env-minor (nb, f..., block);
+        # scalar leaves ride one sublane row: (nb, 1, block)
+        f = tuple(int(d) for d in x.shape[1:])
+        return (nb,) + (f if f else (1,)) + (block,)
+
+    def t_in(x):
+        """(n, f...) -> (nb, f..., block): per-block env-minor rotation."""
+        if x.ndim == 1:
+            return x.reshape(nb, 1, block)
+        x = x.reshape((nb, block) + x.shape[1:])
+        return jnp.moveaxis(x, 1, -1)
+
+    def t_out(o, fshape):
+        """(nb, f..., block) -> (n, f...)."""
+        if len(fshape) == 0:
+            return o.reshape(n)
+        o = jnp.moveaxis(o, -1, 1)
+        return o.reshape((n,) + tuple(fshape))
 
     out_shapes_full = ([jax.ShapeDtypeStruct(
-                            _tshape(x) if x.ndim > 1 else (1, n),
+                            _tshape(x),
                             _i32 if x.dtype == jnp.bool_ else x.dtype)
                         for x in dyn]
-                       + [jax.ShapeDtypeStruct((1, n), jnp.int32),
-                          jax.ShapeDtypeStruct((5, n), _i32)])
+                       + [jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
+                          jax.ShapeDtypeStruct((nb, 5, block), _i32)])
 
     def fused(states, srngs):
         ball = jax.vmap(E._ball_cells)(states)  # XLA gather from the map
         _, dyn = E.split_state(states)
-        # XLA-side transposes to env-minor: ~2x dynamic-state bytes per
-        # step, trivial next to the kernel itself
-        ins = [_boxed_t(jnp.moveaxis(x, 0, -1)) for x in dyn]
-        ins.append(srngs[None, :])
+        # XLA-side transposes to blocked env-minor: ~2x dynamic-state bytes
+        # per step, trivial next to the kernel itself
+        ins = [t_in(x.astype(_i32) if x.dtype == jnp.bool_ else x)
+               for x in dyn]
+        ins.append(t_in(srngs))
         for part in ball:
-            ins.append(jnp.moveaxis(part, 0, -1))
-        ins.append(states.n_players[None, :])
-        ins.append(states.max_steps[None, :])
+            ins.append(t_in(part))
+        ins.append(t_in(states.n_players))
+        ins.append(t_in(states.max_steps))
 
         outs = pl.pallas_call(
             kernel,
@@ -456,11 +473,11 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
         for o, (_, fshape, fdtype) in zip(outs[:n_dyn], feat):
             if fdtype == jnp.bool_:
                 o = o != 0
-            o = o[0] if len(fshape) == 0 else jnp.moveaxis(o, -1, 0)
-            new_dyn.append(o)
+            new_dyn.append(t_out(o, fshape))
         new_dyn = tuple(new_dyn)
         static, _ = E.split_state(states)
         new_states = E.merge_state(static, new_dyn)
-        return new_states, outs[n_dyn][0], outs[n_dyn + 1].T
+        return (new_states, t_out(outs[n_dyn], ()),
+                t_out(outs[n_dyn + 1], (5,)))
 
     return fused
