@@ -349,32 +349,121 @@ def _sel_card_bits(sel, idx, play_bit, special_bit, remove_bit=None):
     return out
 
 
+# --------------------------------------------------------------- player view
+class PView(NamedTuple):
+    """The current player's projected slice plus the shared step mutables.
+
+    The reference mutates one player object per step
+    (src/environment.cpp:91-224); the lockstep form used to express that as
+    one-hot-masked updates over the full (4,5,21)/(4,92) arrays at every
+    update site (~150 sites). Projecting player p ONCE, running the whole
+    branch logic on (21,)/(92,)/scalar values, and embedding the result back
+    in a single pass removes ~4x of the step's element traffic and a third
+    of its op count — which is what bounds the fused Pallas kernel
+    (ops/step_kernel.py), where every op is a separate vector instruction.
+    """
+    # projected player p (u8-domain values held as i32, see _u8)
+    draw: jnp.ndarray            # (21,)
+    hand: jnp.ndarray            # (21,)
+    active: jnp.ndarray          # (21,)
+    played: jnp.ndarray          # (21,)
+    discard: jnp.ndarray         # (21,)
+    n_in_hand: jnp.ndarray       # scalar
+    n_active: jnp.ndarray        # scalar
+    n_in_draw: jnp.ndarray       # scalar
+    idx_last: jnp.ndarray        # scalar
+    xy: jnp.ndarray              # (2,) i32
+    storage: jnp.ndarray         # (92,) bool — player p's stored mask
+    has_won: jnp.ndarray         # scalar bool
+    mip: jnp.ndarray             # scalar bool
+    next_card_free: jnp.ndarray  # scalar bool
+    next_move_free: jnp.ndarray  # scalar bool
+    n_removes: jnp.ndarray       # scalar
+    n_movements: jnp.ndarray     # scalar i32
+    n_added: jnp.ndarray         # scalar
+    # shared
+    sel: jnp.ndarray             # (92,) bool — selected action mask
+    resources: jnp.ndarray       # (3,) f32
+    phase: jnp.ndarray           # scalar i32
+    shop_stock: jnp.ndarray      # (18,)
+    in_market: jnp.ndarray       # (18,) bool
+    n_in_market: jnp.ndarray     # scalar
+    rng: jnp.ndarray
+    tainted: jnp.ndarray
+
+
+def _pview(s: EnvState, p) -> PView:
+    piles_p = _u8row(s.piles, p)                       # (5,21)
+    rows = [jax.lax.squeeze(
+        jax.lax.slice(piles_p, (r, 0), (r + 1, N_CARDTYPES)), (0,))
+        for r in range(5)]
+    xy = jnp.max(jnp.where(_oh(p, _IOTA4[:, None]), s.player_xy,
+                           jnp.full_like(s.player_xy, -(1 << 20))), axis=0)
+    g = lambda arr: _get1(arr, p, _IOTA4)
+    return PView(
+        draw=rows[PILE_DRAW], hand=rows[PILE_HAND], active=rows[PILE_ACTIVE],
+        played=rows[PILE_PLAYED], discard=rows[PILE_DISCARD],
+        n_in_hand=g(s.n_in_hand), n_active=g(s.n_active),
+        n_in_draw=g(s.n_in_draw), idx_last=g(s.idx_last),
+        xy=xy, storage=_brow(s.storage_masks, p),
+        has_won=g(s.has_won), mip=g(s.mip),
+        next_card_free=g(s.next_card_free),
+        next_move_free=g(s.next_move_free),
+        n_removes=g(s.n_removes), n_movements=g(s.n_movements),
+        n_added=g(s.n_added),
+        sel=s.sel_mask, resources=s.resources, phase=s.phase,
+        shop_stock=s.shop_stock, in_market=s.in_market,
+        n_in_market=s.n_in_market, rng=s.rng, tainted=s.rng_tainted)
+
+
+def _pview_embed(s: EnvState, p, v: PView) -> EnvState:
+    """Write the projected slice back (single pass per leaf)."""
+    oh_p = _oh(p, _IOTA4)
+    new_p = jnp.stack([v.draw, v.hand, v.active, v.played, v.discard])
+    sput = lambda arr, val: jnp.where(oh_p, val, arr)
+    bput = lambda arr, val: (arr & ~oh_p) | (oh_p & val)
+    return s._replace(
+        piles=jnp.where(_oh(p, _IOTA4[:, None, None]), new_p[None], s.piles),
+        n_in_hand=sput(s.n_in_hand, v.n_in_hand),
+        n_active=sput(s.n_active, v.n_active),
+        n_in_draw=sput(s.n_in_draw, v.n_in_draw),
+        idx_last=sput(s.idx_last, v.idx_last),
+        player_xy=jnp.where(_oh(p, _IOTA4[:, None]), v.xy[None],
+                            s.player_xy),
+        storage_masks=_put_row(s.storage_masks, p, v.storage),
+        has_won=bput(s.has_won, v.has_won),
+        mip=bput(s.mip, v.mip),
+        next_card_free=bput(s.next_card_free, v.next_card_free),
+        next_move_free=bput(s.next_move_free, v.next_move_free),
+        n_removes=sput(s.n_removes, v.n_removes),
+        n_movements=sput(s.n_movements, v.n_movements),
+        n_added=sput(s.n_added, v.n_added),
+        sel_mask=v.sel, resources=v.resources, phase=v.phase,
+        shop_stock=v.shop_stock, in_market=v.in_market,
+        n_in_market=v.n_in_market, rng=v.rng, rng_tainted=v.tainted)
+
+
 # ---------------------------------------------------------------------- deck
-def _deck_draw(s: EnvState, p, n):
+def _deck_draw_p(v: PView, n) -> PView:
     """Deck::draw (src/cards.cpp:183-211): recycle at most once, clamp, then
     up to four uniform picks scanning the draw-pile counts."""
-    oh_p = _oh(p, _IOTA4)
-    piles_p = _u8row(s.piles, p)                       # (5,21)
-    nid0 = _get1(s.n_in_draw, p, _IOTA4)
-    need = nid0.astype(_i32) < n
-    rec_nid = _wrap8(nid0 + jnp.sum(piles_p[PILE_DISCARD]))
-    draw = jnp.where(need,
-                     _wrap8(piles_p[PILE_DRAW] + piles_p[PILE_DISCARD]),
-                     piles_p[PILE_DRAW])
-    discard = jnp.where(need, jnp.zeros(N_CARDTYPES, _u8),
-                        piles_p[PILE_DISCARD])
+    nid0 = v.n_in_draw
+    need = nid0 < n
+    rec_nid = _wrap8(nid0 + jnp.sum(v.discard))
+    draw = jnp.where(need, _wrap8(v.draw + v.discard), v.draw)
+    discard = jnp.where(need, jnp.zeros(N_CARDTYPES, _u8), v.discard)
     nid = jnp.where(need, rec_nid, nid0)
-    hand = piles_p[PILE_HAND]
-    n_eff = jnp.minimum(n, nid.astype(_i32))
-    sel = s.sel_mask
-    rng = s.rng
-    taint = s.rng_tainted
+    hand = v.hand
+    n_eff = jnp.minimum(n, nid)
+    sel = v.sel
+    rng = v.rng
+    taint = v.tainted
     one = jnp.asarray(1, _u8)
     for k in range(HAND_SIZE):  # static unroll: at most 4 draws per call
         live = k < n_eff
-        t, rng, tt = R.uniform_int_fast_maybe(rng, nid.astype(_i32), live)
+        t, rng, tt = R.uniform_int_fast_maybe(rng, nid, live)
         taint = taint | tt
-        cum = _csum_incl(draw.astype(_i32))
+        cum = _csum_incl(draw)
         ct = jnp.sum(cum <= t.astype(_i32), dtype=_i32)
         ct = jnp.minimum(ct, N_CARDTYPES - 1)
         oh_ct = _oh(ct, _IOTA21)
@@ -388,117 +477,90 @@ def _deck_draw(s: EnvState, p, n):
         tgt_sp = live & _oh(SPECIAL0 + 1 + ct, _IOTA92)
         sel = (sel & ~tgt_sp) | (tgt_sp
                                  & _get1(_CARD_IS_SPECIAL, ct, _IOTA21))
-    new_p = jnp.stack([draw, hand, piles_p[PILE_ACTIVE],
-                       piles_p[PILE_PLAYED], discard])
-    piles = jnp.where(_oh(p, _IOTA4[:, None, None]), new_p[None], s.piles)
-    return s._replace(
-        piles=piles,
-        n_in_draw=jnp.where(oh_p, nid, s.n_in_draw),
-        n_in_hand=_wrap8(s.n_in_hand + jnp.where(oh_p, n_eff,
-                                                 jnp.zeros((), _u8))),
-        sel_mask=sel, rng=rng, rng_tainted=taint)
+    return v._replace(draw=draw, hand=hand, discard=discard, n_in_draw=nid,
+                      n_in_hand=_wrap8(v.n_in_hand + n_eff),
+                      sel=sel, rng=rng, tainted=taint)
 
 
-def _activate(s: EnvState, p, idx):
+def _deck_draw(s: EnvState, p, n) -> EnvState:
+    """Reset-path wrapper: project, draw, embed."""
+    return _pview_embed(s, p, _deck_draw_p(_pview(s, p), jnp.asarray(n,
+                                                                     _i32)))
+
+
+def _activate_p(v: PView, idx) -> PView:
     """Deck::activate (src/cards.cpp:242-253)."""
-    oh_p = _oh(p, _IOTA4)
     oh_c = _oh(idx, _IOTA21)
-    prev = _max2(jnp.where(_oh(p, _IOTA4[:, None]) & oh_c[None, :],
-                           s.piles[:, PILE_HAND].astype(_i32), 0))
+    prev = _get1(v.hand, idx, _IOTA21)
     one = jnp.asarray(1, _u8)
-    cell = _oh(p, _IOTA4[:, None]) & oh_c[None, :]
-    neg = jnp.where(cell, -one, jnp.zeros((), _u8))
-    pos = jnp.where(cell, one, jnp.zeros((), _u8))
-    piles = _pile_add(_pile_add(s.piles, PILE_HAND, neg), PILE_ACTIVE, pos)
-    return s._replace(
-        piles=piles,
-        n_in_hand=_wrap8(s.n_in_hand - jnp.where(oh_p, one,
-                                                 jnp.zeros((), _u8))),
-        n_active=_wrap8(s.n_active + jnp.where(oh_p, one,
-                                               jnp.zeros((), _u8))),
-        idx_last=jnp.where(oh_p, idx.astype(_u8), s.idx_last),
-        sel_mask=_sel_card_bits(
-            s.sel_mask, idx, prev > 1,
+    dlt = jnp.where(oh_c, one, jnp.zeros((), _u8))
+    return v._replace(
+        hand=_wrap8(v.hand - dlt), active=_wrap8(v.active + dlt),
+        n_in_hand=_wrap8(v.n_in_hand - one),
+        n_active=_wrap8(v.n_active + one),
+        idx_last=idx,
+        sel=_sel_card_bits(
+            v.sel, idx, prev > 1,
             (prev > 1) & _get1(_CARD_IS_SPECIAL, idx, _IOTA21)))
 
 
-def _play_last_activated(s: EnvState, p):
+def _play_last_activated_p(v: PView) -> PView:
     """src/cards.cpp:255-261."""
-    idx = _get1(s.idx_last, p, _IOTA4).astype(_i32)
-    oh_p = _oh(p, _IOTA4)
+    idx = v.idx_last
     oh_c = _oh(idx, _IOTA21)
-    cell = _oh(p, _IOTA4[:, None]) & oh_c[None, :]
     one = jnp.asarray(1, _u8)
     single_i = _get1(_CARD_SINGLE.astype(np.int32), idx, _IOTA21)
-    piles = _pile_add(s.piles, PILE_ACTIVE,
-                      jnp.where(cell, -one, jnp.zeros((), _u8)))
-    piles = _pile_add(piles, PILE_PLAYED,
-                      jnp.where(cell & (single_i == 0), one,
-                                jnp.zeros((), _u8)))
-    return s._replace(
-        piles=piles,
-        n_active=_wrap8(s.n_active - jnp.where(oh_p, one,
-                                               jnp.zeros((), _u8))))
+    return v._replace(
+        active=_wrap8(v.active - jnp.where(oh_c, one, jnp.zeros((), _u8))),
+        played=_wrap8(v.played + jnp.where(oh_c & (single_i == 0), one,
+                                           jnp.zeros((), _u8))),
+        n_active=_wrap8(v.n_active - one))
 
 
-def _play_immediate(s: EnvState, p, idx):
+def _play_immediate_p(v: PView, idx) -> PView:
     """src/cards.cpp:263-273."""
-    oh_p = _oh(p, _IOTA4)
     oh_c = _oh(idx, _IOTA21)
-    cell = _oh(p, _IOTA4[:, None]) & oh_c[None, :]
-    prev = _max2(jnp.where(cell, s.piles[:, PILE_HAND].astype(_i32), 0))
+    prev = _get1(v.hand, idx, _IOTA21)
     one = jnp.asarray(1, _u8)
-    piles = _pile_add(
-        _pile_add(s.piles, PILE_HAND, jnp.where(cell, -one,
-                                                jnp.zeros((), _u8))),
-        PILE_PLAYED, jnp.where(cell, one, jnp.zeros((), _u8)))
-    return s._replace(
-        piles=piles,
-        n_in_hand=_wrap8(s.n_in_hand - jnp.where(oh_p, one,
-                                                 jnp.zeros((), _u8))),
-        sel_mask=_sel_card_bits(
-            s.sel_mask, idx, prev > 1,
+    dlt = jnp.where(oh_c, one, jnp.zeros((), _u8))
+    return v._replace(
+        hand=_wrap8(v.hand - dlt), played=_wrap8(v.played + dlt),
+        n_in_hand=_wrap8(v.n_in_hand - one),
+        sel=_sel_card_bits(
+            v.sel, idx, prev > 1,
             (prev > 1) & _get1(_CARD_IS_SPECIAL, idx, _IOTA21)))
 
 
-def _remove_immediate(s: EnvState, p, idx):
+def _remove_immediate_p(v: PView, idx) -> PView:
     """src/cards.cpp:281-290."""
-    oh_p = _oh(p, _IOTA4)
     oh_c = _oh(idx, _IOTA21)
-    cell = _oh(p, _IOTA4[:, None]) & oh_c[None, :]
-    prev = _max2(jnp.where(cell, s.piles[:, PILE_HAND].astype(_i32), 0))
+    prev = _get1(v.hand, idx, _IOTA21)
     one = jnp.asarray(1, _u8)
-    play_bit = _get1(s.sel_mask, PLAY0 + 1 + idx, _IOTA92) & (prev > 1)
-    remove_bit = _get1(s.sel_mask, REMOVE0 + 1 + idx, _IOTA92) & (prev > 1)
-    return s._replace(
-        piles=_pile_add(s.piles, PILE_HAND,
-                        jnp.where(cell, -one, jnp.zeros((), _u8))),
-        n_in_hand=_wrap8(s.n_in_hand - jnp.where(oh_p, one,
-                                                 jnp.zeros((), _u8))),
-        sel_mask=_sel_card_bits(
-            s.sel_mask, idx, play_bit,
+    play_bit = _get1(v.sel, PLAY0 + 1 + idx, _IOTA92) & (prev > 1)
+    remove_bit = _get1(v.sel, REMOVE0 + 1 + idx, _IOTA92) & (prev > 1)
+    return v._replace(
+        hand=_wrap8(v.hand - jnp.where(oh_c, one, jnp.zeros((), _u8))),
+        n_in_hand=_wrap8(v.n_in_hand - one),
+        sel=_sel_card_bits(
+            v.sel, idx, play_bit,
             play_bit & _get1(_CARD_IS_SPECIAL, idx, _IOTA21),
             remove_bit=remove_bit))
 
 
-def _pick_actives(s: EnvState, p, n, to_discard):
+def _pick_actives_p(v: PView, n, to_discard) -> PView:
     """Player::discard_cards / remove_cards (src/player.cpp:85-131): n uniform
     picks over the active counts; remove clamps n to n_active, discard does
     not (unreachable overflow per the mod-256 invariant)."""
-    oh_p = _oh(p, _IOTA4)
-    n_avail = _get1(s.n_active, p, _IOTA4).astype(_i32)
+    n_avail = v.n_active
     n = jnp.where(to_discard, n, jnp.minimum(n, n_avail))
-    active = _u8row(s.piles[:, PILE_ACTIVE], p)
-    discard = _u8row(s.piles[:, PILE_DISCARD], p)
-    n_act = _get1(s.n_active, p, _IOTA4)
-    rng = s.rng
-    taint = s.rng_tainted
+    active, discard, n_act = v.active, v.discard, v.n_active
+    rng, taint = v.rng, v.tainted
     one = jnp.asarray(1, _u8)
     for k in range(5):  # static unroll: n_required <= 5 picks per call
         live = k < n
         t, rng, tt = R.uniform_int_fast_maybe(rng, n_avail - k, live)
         taint = taint | tt
-        cum = _csum_incl(active.astype(_i32))
+        cum = _csum_incl(active)
         ct = jnp.sum(cum <= t.astype(_i32), dtype=_i32)
         ct = jnp.minimum(ct, N_CARDTYPES - 1)
         oh_ct = _oh(ct, _IOTA21)
@@ -507,45 +569,38 @@ def _pick_actives(s: EnvState, p, n, to_discard):
         discard = _wrap8(discard + jnp.where(live & to_discard & oh_ct, one,
                                              jnp.zeros((), _u8)))
         n_act = jnp.where(live, _wrap8(n_act - one), n_act)
-    oh2 = _oh(p, _IOTA4[:, None])
-    sel_a = jnp.where(oh2, active[None], s.piles[:, PILE_ACTIVE])
-    sel_d = jnp.where(oh2, discard[None], s.piles[:, PILE_DISCARD])
-    ra = _IOTA5[None, :, None] == PILE_ACTIVE
-    rd = _IOTA5[None, :, None] == PILE_DISCARD
-    piles = jnp.where(ra, sel_a[:, None, :],
-                      jnp.where(rd, sel_d[:, None, :], s.piles))
-    return s._replace(
-        piles=piles,
-        n_active=jnp.where(oh_p, n_act, s.n_active),
-        rng=rng, rng_tainted=taint)
+    return v._replace(active=active, discard=discard, n_active=n_act,
+                      rng=rng, tainted=taint)
 
 
 # --------------------------------------------------------------------- masks
-def _disable_playing(s: EnvState):
+def _disable_playing_p(v: PView) -> PView:
     """src/player.cpp:191-196 (selected mask)."""
     cleared = _IN_PLAY | _IN_SPECIAL
-    return s._replace(
-        sel_mask=jnp.where(cleared, _NULL_MASK, s.sel_mask))
+    return v._replace(sel=jnp.where(cleared, _NULL_MASK, v.sel))
 
 
-def _enable_playing(s: EnvState, p):
+def _enable_playing_p(v: PView) -> PView:
     """src/player.cpp:198-206 (selected mask)."""
-    hand = _u8row(s.piles[:, PILE_HAND], p)
-    play = hand > 0                                   # (21,)
+    play = v.hand > 0                                 # (21,)
     flat_play = _embed(play, PLAY0 + 1)
     flat_special = _embed(play & _CARD_IS_SPECIAL, SPECIAL0 + 1)
-    sel = jnp.where(_IN_REMOVE, _NULL_MASK, s.sel_mask)
+    sel = jnp.where(_IN_REMOVE, _NULL_MASK, v.sel)
     sel = jnp.where(_IN_PLAY & (_IOTA92 != PLAY0), flat_play, sel)
     sel = jnp.where(_IN_SPECIAL & (_IOTA92 != SPECIAL0), flat_special, sel)
-    return s._replace(sel_mask=sel)
+    return v._replace(sel=sel)
+
+
+def _shop_avail(shop_stock, in_market, n_in_market, coins):
+    """Shop::set_available_mask -> 18 bools (src/cards.cpp:109-121)."""
+    open_slots = n_in_market < MKT_BOARD_SLOTS
+    afford = coins > _SHOP_COST
+    return jnp.where(open_slots, (shop_stock > 0) & afford,
+                     in_market & afford)
 
 
 def _shop_available(s: EnvState, coins):
-    """Shop::set_available_mask -> 18 bools (src/cards.cpp:109-121)."""
-    open_slots = s.n_in_market.astype(_i32) < MKT_BOARD_SLOTS
-    afford = coins > _SHOP_COST
-    return jnp.where(open_slots, (s.shop_stock > 0) & afford,
-                     s.in_market & afford)
+    return _shop_avail(s.shop_stock, s.in_market, s.n_in_market, coins)
 
 
 def _cells(s: EnvState, xy):
@@ -591,30 +646,36 @@ def _ball_cells(s: EnvState):
     return req, n_req, cell[..., 6]                            # each (4,19)
 
 
-def _ball_at(ball, p, k):
-    """ball entry (req, n_req, is_end) for player p at ball index k."""
+def _ball_row(ball, p):
+    """Player p's pregathered ball rows: (breq, bnr, bend), each (19,)."""
     breq, bnr, bend = ball
-    m = _oh(p, _IOTA4[:, None]) & _oh(k, np.arange(N_BALL)[None, :])
-    pick = lambda a: _max2(jnp.where(m, a, jnp.zeros_like(a)))
+    sel_p = _oh(p, _IOTA4[:, None])
+    row_req = jnp.max(jnp.where(sel_p, breq, -1), axis=0)
+    row_req = jnp.where(row_req < 0, 5, row_req)
+    row_nr = jnp.max(jnp.where(sel_p, bnr, jnp.zeros_like(bnr)), axis=0)
+    row_end = jnp.max(jnp.where(sel_p, bend, jnp.zeros_like(bend)), axis=0)
+    return row_req, row_nr, row_end
+
+
+def _ball_at_p(ball_p, k):
+    """ball-row entry (req, n_req, is_end) at ball index k."""
+    breq, bnr, bend = ball_p
+    m = _oh(k, np.arange(N_BALL))
     # req needs a min-style default of 5 (impassable), not 0
-    req = _max2(jnp.where(m, breq, -1))
+    req = jnp.max(jnp.where(m, breq, -1))
     req = jnp.where(req < 0, 5, req)
-    return req, pick(bnr), pick(bend)
+    return (req, jnp.max(jnp.where(m, bnr, jnp.zeros_like(bnr))),
+            jnp.max(jnp.where(m, bend, jnp.zeros_like(bend))))
 
 
-def _movement_mask_ball(ball, p, m_eff, resources, n_active):
-    """Map::set_movement_mask (src/map.cpp:369-387) against pregathered
-    cells: probes the six 1-hop neighbours of player p's position after an
-    optional first hop ``m_eff`` (0 when the player did not move this
-    step)."""
-    breq, bnr, bend = ball
+def _movement_mask_row(ball_p, m_eff, resources, n_active):
+    """Map::set_movement_mask (src/map.cpp:369-387) against one player's
+    pregathered ball row: probes the six 1-hop neighbours after an optional
+    first hop ``m_eff`` (0 when the player did not move this step)."""
+    row_req, row_nr, _ = ball_p
     # ball indices of (m_eff + k) for k = 1..6
     kidx = jnp.max(jnp.where(_oh(m_eff, np.arange(7)[:, None]), _PAIR,
                              jnp.zeros_like(_PAIR)), axis=0)[1:]   # (6,)
-    sel_p = _oh(p, _IOTA4[:, None])
-    row_req = jnp.max(jnp.where(sel_p, breq, -1), axis=0)          # (19,)
-    row_req = jnp.where(row_req < 0, 5, row_req)
-    row_nr = jnp.max(jnp.where(sel_p, bnr, jnp.zeros_like(bnr)), axis=0)
     onek = _oh(kidx[:, None], np.arange(N_BALL)[None, :])         # (6,19)
     req = jnp.max(jnp.where(onek, row_req[None, :], -1), axis=-1)
     req = jnp.where(req < 0, 5, req)
@@ -640,32 +701,25 @@ def _movement_mask(s: EnvState, p, resources, n_active):
     return (req != 5) & filled
 
 
-def _update_observation_ball(s: EnvState, agent, ball, m_eff):
-    """cog_env::update_observation — storage mask move/shop heads
-    (src/environment.cpp:252-279), against pregathered ball cells."""
-    mv = _movement_mask_ball(ball, agent, m_eff, s.resources,
-                             _get1(s.n_active, agent, _IOTA4).astype(_i32))
-    return _update_observation_common(s, agent, mv)
+def _obs_mask(m, phase, mv, shop_av):
+    """cog_env::update_observation — move/shop heads of a stored mask
+    (src/environment.cpp:252-279)."""
+    m = jnp.where(_IN_MOVE | _IN_SHOP, _NULL_MASK, m)
+    m = jnp.where((phase == TurnPhase.MOVEMENT)
+                  & _IN_MOVE & (_IOTA92 != MOVE0), _embed(mv, MOVE0 + 1), m)
+    m = jnp.where((phase == TurnPhase.BUYING)
+                  & _IN_SHOP & (_IOTA92 != SHOP0),
+                  _embed(shop_av, SHOP0 + 1), m)
+    return m
 
 
 def _update_observation(s: EnvState, agent):
     """Map-reading variant used on the reset path (positions are fresh)."""
     mv = _movement_mask(s, agent, s.resources,
                         _get1(s.n_active, agent, _IOTA4).astype(_i32))
-    return _update_observation_common(s, agent, mv)
-
-
-def _update_observation_common(s: EnvState, agent, mv):
-    m = _brow(s.storage_masks, agent)
-    m = jnp.where(_IN_MOVE | _IN_SHOP, _NULL_MASK, m)
-    flat_mv = _embed(mv, MOVE0 + 1)
-    m = jnp.where((s.phase == TurnPhase.MOVEMENT)
-                  & _IN_MOVE & (_IOTA92 != MOVE0), flat_mv, m)
-    flat_shop = _embed(_shop_available(s, s.resources[2]), SHOP0 + 1)
-    m = jnp.where((s.phase == TurnPhase.BUYING)
-                  & _IN_SHOP & (_IOTA92 != SHOP0), flat_shop, m)
-    return s._replace(storage_masks=jnp.where(
-        _oh(agent, _IOTA4[:, None]), m[None], s.storage_masks))
+    m = _obs_mask(_brow(s.storage_masks, agent), s.phase, mv,
+                  _shop_available(s, s.resources[2]))
+    return s._replace(storage_masks=_put_row(s.storage_masks, agent, m))
 
 
 # --------------------------------------------------------------------- reset
@@ -741,105 +795,79 @@ def reset_env_full(s: EnvState, seed, n_players, n_pieces, difficulty,
 
 
 # ---------------------------------------------------------------------- step
-def _end_turn(s: EnvState, p):
-    """Player::end_turn (src/player.cpp:170-180)."""
-    oh_p = _oh(p, _IOTA4)
-    om2 = _oh(p, _IOTA4[:, None, None])      # (4,1,1)
-    actpl = _wrap8(s.piles[:, PILE_ACTIVE] + s.piles[:, PILE_PLAYED])
-    rd = _IOTA5[None, :, None] == PILE_DISCARD
-    rap = ((_IOTA5 == PILE_ACTIVE)
-           | (_IOTA5 == PILE_PLAYED))[None, :, None]  # numpy, static
-    piles = _wrap8(s.piles + jnp.where(om2 & rd, actpl[:, None, :],
-                                       jnp.zeros((), _u8)))
-    piles = jnp.where(om2 & rap, jnp.zeros((), _u8), piles)
-    s = s._replace(
-        piles=piles,
-        n_active=jnp.where(oh_p, jnp.zeros((), _u8), s.n_active))
-    n_draw = HAND_SIZE - _get1(s.n_in_hand, p, _IOTA4).astype(_i32)
-    s = _select(n_draw > 0, _deck_draw(s, p, jnp.maximum(n_draw, 0)), s)
-    return s._replace(
-        resources=jnp.zeros(3, _f32),
-        storage_masks=jnp.where(_oh(p, _IOTA4[:, None]), s.sel_mask[None],
-                                s.storage_masks))
+def _end_turn_p(v: PView):
+    """Player::end_turn (src/player.cpp:170-180). Returns (view, saved)
+    where ``saved`` is the post-redraw selected mask written into the
+    player's storage row."""
+    actpl = _wrap8(v.active + v.played)
+    z21 = jnp.zeros(N_CARDTYPES, _u8)
+    v = v._replace(discard=_wrap8(v.discard + actpl),
+                   active=z21, played=z21,
+                   n_active=jnp.zeros((), _u8))
+    n_draw = HAND_SIZE - v.n_in_hand
+    v = _select(n_draw > 0, _deck_draw_p(v, jnp.maximum(n_draw, 0)), v)
+    return v._replace(resources=jnp.zeros(3, _f32)), v.sel
 
 
-def _next_agent(s: EnvState) -> EnvState:
-    """cog_env::next_agent (src/environment.cpp:79-89)."""
-    s = _end_turn(s, s.agent)
-    nxt = s.agent + 1
-    nxt = jnp.where(nxt >= s.n_players, 0, nxt)
-    return s._replace(
-        agent=nxt,
-        sel_mask=_brow(s.storage_masks, nxt),
-        resources=jnp.zeros(3, _f32),
-        turn_counter=s.turn_counter + 1)
-
-
-def _run_special(s: EnvState, special, p, ball) -> EnvState:
+def _run_special_p(v: PView, special, ball_p) -> PView:
     """Card special actions (src/cards.cpp:8-36) + the shop-disable
-    continuation (src/environment.cpp:156-159). Writes the storage mask of
-    the current agent; disable_playing acts on the selected mask."""
-    oh_p = _oh(p, _IOTA4)
+    continuation (src/environment.cpp:156-159). Runs on the current agent's
+    view; ``v.storage`` must hold the post-update_observation mask (the
+    reference executes specials after update_observation, and a pending
+    special implies the turn did not rotate)."""
 
-    def storage(s):
-        return _brow(s.storage_masks, p)
+    def shop_flat(v):
+        return _embed(_shop_avail(v.shop_stock, v.in_market, v.n_in_market,
+                                  jnp.asarray(0.0, _f32)), SHOP0 + 1)
 
-    def set_storage(s, m):
-        return s._replace(storage_masks=jnp.where(
-            _oh(p, _IOTA4[:, None]), m[None], s.storage_masks))
-
-    def shop_flat(s):
-        return _embed(_shop_available(s, jnp.asarray(0.0, _f32)), SHOP0 + 1)
-
-    def f_transmit(s):
-        m = storage(s)
-        m = jnp.where(_IN_MOVE, _NULL_MASK, m)
-        tm = _embed(s.shop_stock > 0, SHOP0 + 1)
+    def f_transmit(v):
+        m = jnp.where(_IN_MOVE, _NULL_MASK, v.storage)
+        tm = _embed(v.shop_stock > 0, SHOP0 + 1)
         m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), tm, m)
-        s = set_storage(s, m)
-        s = _disable_playing(s)
-        return s._replace(next_card_free=s.next_card_free | oh_p)
+        v = _disable_playing_p(v._replace(storage=m))
+        return v._replace(next_card_free=jnp.bool_(True))
 
-    def f_draw(s, n):
-        return _deck_draw(s, p, jnp.asarray(n, _i32))
+    # one shared _deck_draw instance serves all four draw specials: the
+    # live-gated RNG (uniform_int_fast_maybe) consumes the stream only for
+    # k < nd, so a traced draw count reproduces each branch's stream exactly
+    nd = jnp.where(special == T.SPECIAL_DRAW3, 3,
+                   jnp.where(special == T.SPECIAL_DRAW1_REMOVE1, 1,
+                             jnp.where((special == T.SPECIAL_DRAW2)
+                                       | (special == T.SPECIAL_DRAW2_REMOVE2),
+                                       2, 0)))
+    sd = _deck_draw_p(v, nd)
 
-    def f_draw_remove(s, n):
-        s = _deck_draw(s, p, jnp.asarray(n, _i32))
-        m = storage(s)
+    def f_draw_remove(v):
         # remove head := play head (incl. index 0; src/cards.cpp:18);
         # slice+placement-matmul instead of a bool roll (i8 in Mosaic)
-        play_head = jax.lax.slice(m, (PLAY0,), (PLAY0 + 22,))
-        m = jnp.where(_IN_REMOVE, _embed(play_head, REMOVE0), m)
-        m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), shop_flat(s), m)
-        s = set_storage(s, m)
-        s = _disable_playing(s)
-        return s._replace(n_removes=jnp.where(oh_p, jnp.asarray(n, _u8),
-                                              s.n_removes))
+        play_head = jax.lax.slice(v.storage, (PLAY0,), (PLAY0 + 22,))
+        m = jnp.where(_IN_REMOVE, _embed(play_head, REMOVE0), v.storage)
+        m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), shop_flat(v), m)
+        v = _disable_playing_p(v._replace(storage=m))
+        return v._replace(n_removes=nd.astype(_u8))
 
-    def f_native(s):
-        mv = _movement_mask_ball(ball, p, jnp.asarray(0, _i32),
-                                 jnp.full(3, 100.0, _f32),
-                                 jnp.asarray(100, _i32))
-        flat_mv = _embed(mv, MOVE0 + 1)
-        m = storage(s)
-        m = jnp.where(_IN_MOVE & (_IOTA92 != MOVE0), flat_mv, m)
-        m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), shop_flat(s), m)
-        s = set_storage(s, m)
-        s = _disable_playing(s)
-        return s._replace(next_move_free=s.next_move_free | oh_p)
+    def f_native(v):
+        mv = _movement_mask_row(ball_p, jnp.asarray(0, _i32),
+                                jnp.full(3, 100.0, _f32),
+                                jnp.asarray(100, _i32))
+        m = jnp.where(_IN_MOVE & (_IOTA92 != MOVE0), _embed(mv, MOVE0 + 1),
+                      v.storage)
+        m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), shop_flat(v), m)
+        v = _disable_playing_p(v._replace(storage=m))
+        return v._replace(next_move_free=jnp.bool_(True))
 
-    def f_shop_disable(s):
-        m = storage(s)
-        m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), shop_flat(s), m)
-        return set_storage(s, m)
+    def f_shop_disable(v):
+        m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), shop_flat(v), v.storage)
+        return v._replace(storage=m)
 
-    out = _select(special == T.SPECIAL_TRANSMIT, f_transmit(s), s)
-    out = _select(special == T.SPECIAL_DRAW2, f_draw(s, 2), out)
-    out = _select(special == T.SPECIAL_DRAW3, f_draw(s, 3), out)
-    out = _select(special == T.SPECIAL_DRAW1_REMOVE1, f_draw_remove(s, 1), out)
-    out = _select(special == T.SPECIAL_DRAW2_REMOVE2, f_draw_remove(s, 2), out)
-    out = _select(special == T.SPECIAL_NATIVE, f_native(s), out)
-    out = _select(special == T.SPECIAL_SHOP_DISABLE, f_shop_disable(s), out)
+    out = _select(special == T.SPECIAL_TRANSMIT, f_transmit(v), v)
+    out = _select((special == T.SPECIAL_DRAW2)
+                  | (special == T.SPECIAL_DRAW3), sd, out)
+    out = _select((special == T.SPECIAL_DRAW1_REMOVE1)
+                  | (special == T.SPECIAL_DRAW2_REMOVE2),
+                  f_draw_remove(sd), out)
+    out = _select(special == T.SPECIAL_NATIVE, f_native(v), out)
+    out = _select(special == T.SPECIAL_SHOP_DISABLE, f_shop_disable(v), out)
     return out
 
 
@@ -853,7 +881,12 @@ def step_env(s: EnvState, action) -> EnvState:
 def step_core(s: EnvState, action, ball) -> EnvState:
     """The map-free step body: all map reads come from the pregathered
     2-hop ``ball`` cells (see _ball_cells). Shared verbatim by the XLA path
-    (step_env) and the Pallas mega-kernel (ops/step_kernel.py)."""
+    (step_env) and the Pallas mega-kernel (ops/step_kernel.py).
+
+    Structure: project the current player ONCE (PView), run the whole
+    dispatch (src/environment.cpp:91-224) on the projected values, embed
+    back in a single pass, then apply the episode-end logic on the full
+    state."""
     s0 = s
     action = jnp.asarray(action, _i32)
     a_play, a_sp, a_rm, a_mv, a_shop = (action[i] for i in range(5))
@@ -869,12 +902,15 @@ def step_core(s: EnvState, action, ball) -> EnvState:
         steps_taken=_wrap8(s.steps_taken + jnp.where(oh_p, one8,
                                                      jnp.zeros((), _u8))))
 
+    v = _pview(s, p)
+    ball_p = _ball_row(ball, p)
+
     b_play = a_play > 0
     b_special = (a_play == 0) & (a_sp > 0)
     b_move = (a_play == 0) & (a_sp == 0) & (a_mv > 0)
 
     # ---- play branch (src/environment.cpp:104-108, src/player.cpp:47-69)
-    def f_play(s):
+    def f_play(v):
         idx = jnp.clip(a_play - 1, 0, N_CARDTYPES - 1)
         # per-channel masked maxes: Mosaic's layout inference aborts on
         # lane-3 shapes (both the (21,)@(21,3) matmul and a (21,3) reduce)
@@ -883,132 +919,116 @@ def step_core(s: EnvState, action, ball) -> EnvState:
             jnp.max(jnp.where(oh_c, _CARD_RES[:, c], 0.0))
             for c in range(3)])
         coin = res_mov[2]
-        res_buy = s.resources + jnp.where(
+        res_buy = v.resources + jnp.where(
             _IOTA3 == 2, jnp.where(coin > 0, coin, jnp.asarray(0.5, _f32)),
             0.0)
-        res = jnp.where(s.phase == TurnPhase.MOVEMENT, res_mov,
-                        jnp.where(s.phase == TurnPhase.BUYING, res_buy,
-                                  s.resources))
-        return _activate(s._replace(resources=res), p, idx)
+        res = jnp.where(v.phase == TurnPhase.MOVEMENT, res_mov,
+                        jnp.where(v.phase == TurnPhase.BUYING, res_buy,
+                                  v.resources))
+        return _activate_p(v._replace(resources=res), idx)
 
     # ---- play_special branch (src/environment.cpp:110-112)
-    def f_special(s):
+    def f_special(v):
         idx = jnp.clip(a_sp - 1, 0, N_CARDTYPES - 1)
         return _select(_get1(_CARD_SINGLE, idx, _IOTA21),
-                       _remove_immediate(s, p, idx),
-                       _play_immediate(s, p, idx))
+                       _remove_immediate_p(v, idx),
+                       _play_immediate_p(v, idx))
 
     # ---- move branch (src/environment.cpp:115-125)
-    def f_move(s):
-        old_xy = jnp.max(jnp.where(_oh(p, _IOTA4[:, None]), s.player_xy,
-                                   jnp.full_like(s.player_xy, -(1 << 20))),
-                         axis=0)
+    def f_move(v):
         dxy = jnp.max(jnp.where(_oh(a_mv, np.arange(7)[:, None]), _DIR_DBL,
                                 jnp.full_like(_DIR_DBL, -(1 << 20))), axis=0)
-        new_xy = old_xy + dxy
-        s = s._replace(player_xy=jnp.where(_oh(p, _IOTA4[:, None]), new_xy[None],
-                                           s.player_xy))
+        v = v._replace(xy=v.xy + dxy)
         kidx = jnp.max(jnp.where(_oh(a_mv, np.arange(7)), _PAIR[0],
                                  jnp.zeros_like(_PAIR[0])))
-        req, n_req, is_end = _ball_at(ball, p, kidx)
-        free = _any1(s.next_move_free & oh_p)
+        req, n_req, is_end = _ball_at_p(ball_p, kidx)
 
-        def handle_req(s):
+        def handle_req(v):
             # resource requirement (src/player.cpp:141-150)
             ridx = jnp.minimum(req, 2)
             oh_r = _oh(ridx, _IOTA3)
             left = jnp.where(
-                ridx == 0, s.resources[0],
-                jnp.where(ridx == 1, s.resources[1],
-                          s.resources[2])) - n_req.astype(_f32)
+                ridx == 0, v.resources[0],
+                jnp.where(ridx == 1, v.resources[1],
+                          v.resources[2])) - n_req.astype(_f32)
             res = jnp.where(oh_r, left, 0.0)
-            first = jnp.sum((s.mip & oh_p).astype(_i32)) == 0
-            with_play = _play_last_activated(s, p)._replace(
-                mip=s.mip | oh_p)
-            res_state = _select(first, with_play, s)._replace(resources=res)
+            first = ~v.mip
+            with_play = _play_last_activated_p(v)._replace(
+                mip=jnp.bool_(True))
+            res_state = _select(first, with_play, v)._replace(resources=res)
             # REMOVE / DISCARD hexes (src/player.cpp:151-158)
-            pick_state = _pick_actives(s, p, n_req.astype(_i32), req == 3)
+            pick_state = _pick_actives_p(v, n_req, req == 3)
             pick_state = pick_state._replace(
-                resources=jnp.zeros(3, _f32),
-                mip=s.mip & (_IOTA4 != p))
-            out = _select(req < 3, res_state, s)
+                resources=jnp.zeros(3, _f32), mip=jnp.bool_(False))
+            out = _select(req < 3, res_state, v)
             return _select((req == 3) | (req == 4), pick_state, out)
 
-        def free_move(s):
-            s = s._replace(
-                next_move_free=s.next_move_free & (_IOTA4 != p))
-            return _enable_playing(s, p)
+        def free_move(v):
+            return _enable_playing_p(
+                v._replace(next_move_free=jnp.bool_(False)))
 
-        s = _select(free, free_move(s), handle_req(s))
-        return s._replace(
-            n_movements=s.n_movements + jnp.where(oh_p, 1, 0),
-            has_won=jnp.where(oh_p, is_end > 0, s.has_won))
+        v = _select(v.next_move_free, free_move(v), handle_req(v))
+        return v._replace(n_movements=v.n_movements + 1,
+                          has_won=is_end > 0)
 
     # ---- else branch (src/environment.cpp:128-174)
-    def f_else(s):
-        s = s._replace(next_move_free=s.next_move_free & (_IOTA4 != p))
+    def f_else(v):
+        v = v._replace(next_move_free=jnp.bool_(False))
         b_shop = a_shop > 0
         b_remove = (a_shop == 0) & (a_rm > 0)
 
-        def f_shop(s):
+        def f_shop(v):
             i = jnp.clip(a_shop - 1, 0, N_BUYABLETYPES - 1)
             oh_i = _oh(i, _IOTA18)
-            free = _any1(s.next_card_free & oh_p)
-            in_mkt_i = _any1(s.in_market & oh_i)
+            free = v.next_card_free
+            in_mkt_i = _any1(v.in_market & oh_i)
             # buy: reopen slot before get (src/cards.cpp:102-106)
-            n_mkt = _wrap8(s.n_in_market + jnp.where(
+            n_mkt = _wrap8(v.n_in_market + jnp.where(
                 free, 0, 1 - in_mkt_i.astype(_i32)))
-            in_mkt = jnp.where(free, s.in_market, s.in_market | oh_i)
+            in_mkt = jnp.where(free, v.in_market, v.in_market | oh_i)
             # get (src/cards.cpp:136-142)
-            stock = _wrap8(s.shop_stock - jnp.where(oh_i, one8,
+            stock = _wrap8(v.shop_stock - jnp.where(oh_i, one8,
                                                     jnp.zeros((), _u8)))
-            stock_i = jnp.max(jnp.where(oh_i, stock.astype(_i32), 0))
+            stock_i = jnp.max(jnp.where(oh_i, stock, 0))
             close = (stock_i == 0) & _any1(in_mkt & oh_i)
             in_mkt = jnp.where(close, in_mkt & (_IOTA18 != i), in_mkt)
             n_mkt = jnp.where(close, _wrap8(n_mkt - one8), n_mkt)
             card = jnp.max(jnp.where(oh_i, _SHOP_TYPE, 0))
             cost = jnp.max(jnp.where(oh_i, _SHOP_COST, 0.0))
-            res = jnp.where(free, s.resources,
-                            s.resources - jnp.where(_IOTA3 == 2, cost, 0.0))
-            phase = jnp.where(free, s.phase, (s.phase + 1) % 3)
-            cell = _oh(p, _IOTA4[:, None]) & _oh(card, _IOTA21[None, :])
-            return s._replace(
+            res = jnp.where(free, v.resources,
+                            v.resources - jnp.where(_IOTA3 == 2, cost, 0.0))
+            phase = jnp.where(free, v.phase, (v.phase + 1) % 3)
+            oh_card = _oh(card, _IOTA21)
+            return v._replace(
                 shop_stock=stock, in_market=in_mkt, n_in_market=n_mkt,
                 resources=res, phase=phase,
-                piles=_pile_add(s.piles, PILE_DISCARD,
-                                jnp.where(cell, one8, jnp.zeros((), _u8))),
-                n_added=_wrap8(s.n_added + jnp.where(oh_p, one8,
-                                                     jnp.zeros((), _u8))))
+                discard=_wrap8(v.discard + jnp.where(oh_card, one8,
+                                                     jnp.zeros((), _u8))),
+                n_added=_wrap8(v.n_added + one8))
 
-        def f_remove(s):
+        def f_remove(v):
             idx = jnp.clip(a_rm - 1, 0, N_CARDTYPES - 1)
-            s = _remove_immediate(s, p, idx)
-            s = s._replace(
-                n_removes=_wrap8(s.n_removes - jnp.where(oh_p, one8,
-                                                        jnp.zeros((), _u8))))
-            rem = _get1(s.n_removes, p, _IOTA4)
-            return _select(rem == 0, _enable_playing(s, p), s)
+            v = _remove_immediate_p(v, idx)
+            v = v._replace(n_removes=_wrap8(v.n_removes - one8))
+            return _select(v.n_removes == 0, _enable_playing_p(v), v)
 
-        def f_null(s):
-            s = s._replace(phase=(s.phase + 1) % 3)
-            pending = _any1((s.n_removes > 0) & oh_p)
-            cleared = _enable_playing(s._replace(
-                n_removes=jnp.where(oh_p, jnp.zeros((), _u8),
-                                    s.n_removes)), p)
-            return _select(pending, cleared, s)
+        def f_null(v):
+            v = v._replace(phase=(v.phase + 1) % 3)
+            pending = v.n_removes > 0
+            cleared = _enable_playing_p(
+                v._replace(n_removes=jnp.zeros((), _u8)))
+            return _select(pending, cleared, v)
 
-        s = _select(b_shop, f_shop(s),
-                    _select(b_remove, f_remove(s), f_null(s)))
+        v = _select(b_shop, f_shop(v),
+                    _select(b_remove, f_remove(v), f_null(v)))
         # next_card_free tail (src/environment.cpp:170-173)
-        nc = _any1(s.next_card_free & oh_p)
-        freed = _enable_playing(
-            s._replace(next_card_free=s.next_card_free & (_IOTA4 != p)),
-            p)
-        return _select(nc, freed, s)
+        freed = _enable_playing_p(
+            v._replace(next_card_free=jnp.bool_(False)))
+        return _select(v.next_card_free, freed, v)
 
-    s = _select(b_play, f_play(s),
-                _select(b_special, f_special(s),
-                        _select(b_move, f_move(s), f_else(s))))
+    v = _select(b_play, f_play(v),
+                _select(b_special, f_special(v),
+                        _select(b_move, f_move(v), f_else(v))))
 
     # pending special id (executed after update_observation)
     special = jnp.where(
@@ -1017,30 +1037,65 @@ def step_core(s: EnvState, action, ball) -> EnvState:
         0)
     special = jnp.where(
         (a_play == 0) & (a_sp == 0) & (a_mv == 0) & (a_shop == 0)
-        & (a_rm > 0)
-        & _any1((s.n_removes != 0) & oh_p),
+        & (a_rm > 0) & (v.n_removes != 0),
         T.SPECIAL_SHOP_DISABLE, special)
 
     # movement_in_progress teardown (src/environment.cpp:176-179) — gated on
     # the *raw* action.move field, not the dispatched branch: a step that
     # plays a card while also carrying a nonzero move sub-action skips it.
-    tear = _any1(s.mip & oh_p) & (a_mv == 0)
-    s = _select(tear, s._replace(mip=s.mip & (_IOTA4 != p),
-                                 resources=jnp.zeros(3, _f32)), s)
+    tear = v.mip & (a_mv == 0)
+    v = _select(tear, v._replace(mip=jnp.bool_(False),
+                                 resources=jnp.zeros(3, _f32)), v)
 
-    # maybe_end_turn (src/environment.cpp:244-250)
-    rotate = _any1(s.has_won & oh_p) | (s.phase == TurnPhase.INACTIVE)
-    rotated_i = rotate.astype(_i32)
-    s = _select(rotate, _next_agent(s), s)
+    # maybe_end_turn (src/environment.cpp:244-250): end_turn + rotation.
+    # The saved mask is the post-redraw sel; the next agent's sel restores
+    # from their stored mask (or the just-saved one for a 1-player game).
+    rotate = v.has_won | (v.phase == TurnPhase.INACTIVE)
+    et_v, saved = _end_turn_p(v)
+    q = p + 1
+    q = jnp.where(q >= s.n_players, 0, q)
+    row_q = _brow(s.storage_masks, q)
+    sel_next = jnp.where(q == p, saved, row_q)
+    v = _select(rotate, et_v._replace(sel=sel_next), v)
+
+    # update_observation for the post-rotation agent r (= q if rotated,
+    # else p): rebuild the move/shop heads of r's stored mask
+    # (src/environment.cpp:252-279)
+    rot_other = rotate & (q != p)
+    storage_r = jnp.where(rotate, saved, v.storage)
+    storage_r = jnp.where(rot_other, row_q, storage_r)
+    n_active_r = jnp.where(rot_other, _get1(s.n_active, q, _IOTA4),
+                           v.n_active)
+    ball_q = _ball_row(ball, q)
+    ball_r = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(rotate, b, a), ball_p, ball_q)
     # position delta for the current agent within this step: only a
     # non-rotated mover has hopped relative to the pregathered ball
-    m_eff = jnp.where(b_move & (rotated_i == 0), a_mv, 0)
-    s = _update_observation_ball(s, s.agent, ball, m_eff)
+    m_eff = jnp.where(b_move & ~rotate, a_mv, 0)
+    mv_mask = _movement_mask_row(ball_r, m_eff, v.resources, n_active_r)
+    new_mask_r = _obs_mask(storage_r, v.phase, mv_mask,
+                           _shop_avail(v.shop_stock, v.in_market,
+                                       v.n_in_market, v.resources[2]))
 
-    # special function, else done check (src/environment.cpp:183-207)
-    s = _select(special > 0, _run_special(s, special, s.agent, ball), s)
+    # special function (src/environment.cpp:183-186): a pending special
+    # implies the turn did not rotate, so the target row is p and its
+    # current value is new_mask_r
+    v = v._replace(storage=new_mask_r)
+    v = _select(special > 0, _run_special_p(v, special, ball_p), v)
+
+    # ---- single-pass write-back
+    mask_p_final = jnp.where(rotate, saved, v.storage)
+    mask_r_final = jnp.where(rotate, new_mask_r, v.storage)
+    r_idx = jnp.where(rotate, q, p)
+    s = _pview_embed(s, p, v._replace(storage=mask_p_final))
+    s = s._replace(
+        storage_masks=_put_row(s.storage_masks, r_idx, mask_r_final),
+        agent=r_idx,
+        turn_counter=s.turn_counter + rotate.astype(_i32))
+
+    # done check (src/environment.cpp:187-207)
     k0 = jnp.max(jnp.where(_oh(m_eff, np.arange(7)), _PAIR[:, 0], 0))
-    _, _, on_end = _ball_at(ball, s.agent, k0)
+    _, _, on_end = _ball_at_p(ball_r, k0)
     end_now = (special == 0) & ((on_end > 0)
                                 | (s.turn_counter >= s.max_steps))
     n_winners = jnp.sum(s.has_won.astype(_f32))
