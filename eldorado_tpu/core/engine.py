@@ -274,6 +274,33 @@ def _select(pred, a, b):
     return jax.tree_util.tree_map(pick, a, b)
 
 
+def _merge(base, *branches):
+    """Flat N-way branch merge: ``branches`` are (pred, tree) pairs with
+    mutually-exclusive predicates; leaves a branch left untouched (same
+    tracer as ``base``) cost nothing, and a leaf touched by k branches
+    costs exactly k selects. The nested ``_select(p1, f1, _select(p2, f2,
+    ...))`` cascade this replaces charged up to N selects per leaf for
+    every leaf any deeper branch touched (each level re-wraps the inner
+    merge's fresh tracer)."""
+    leaves_b, treedef = jax.tree_util.tree_flatten(base)
+    leaves_v = [jax.tree_util.tree_flatten(v)[0] for _, v in branches]
+    preds32 = [(p, p.astype(_i32) if hasattr(p, "astype") else p)
+               for p, _ in branches]
+    out = []
+    for i, lb in enumerate(leaves_b):
+        val = lb
+        for (pred, pred32), lv in zip(preds32, (l[i] for l in leaves_v)):
+            if lv is lb:
+                continue
+            if np.ndim(lv) == 0:
+                val = jnp.where(pred, lv, val)
+            else:
+                p = jnp.reshape(pred32, (1,) * np.ndim(lv)) == 1
+                val = jnp.where(p, lv, val)
+        out.append(val)
+    return treedef.unflatten(out)
+
+
 _NULL_MASK = np.zeros(MASK_LEN, bool)
 _NULL_MASK[[PLAY0, SPECIAL0, REMOVE0, MOVE0, SHOP0]] = True
 # per-head membership of the flat mask (static constants)
@@ -878,6 +905,20 @@ def step_env(s: EnvState, action) -> EnvState:
     return step_core(s, action, _ball_cells(s))
 
 
+def _step_pre(s: EnvState, p) -> EnvState:
+    """steps_taken/info bookkeeping + INACTIVE->MOVEMENT phase entry
+    (src/environment.cpp:97-98,226-231)."""
+    oh_p = _oh(p, _IOTA4)
+    one8 = jnp.asarray(1, _u8)
+    return s._replace(
+        info_steps=_wrap8(s.info_steps + jnp.where(oh_p, one8,
+                                                   jnp.zeros((), _u8))),
+        phase=jnp.where(s.phase == TurnPhase.INACTIVE,
+                        jnp.asarray(int(TurnPhase.MOVEMENT), _i32), s.phase),
+        steps_taken=_wrap8(s.steps_taken + jnp.where(oh_p, one8,
+                                                     jnp.zeros((), _u8))))
+
+
 def step_core(s: EnvState, action, ball) -> EnvState:
     """The map-free step body: all map reads come from the pregathered
     2-hop ``ball`` cells (see _ball_cells). Shared verbatim by the XLA path
@@ -887,27 +928,39 @@ def step_core(s: EnvState, action, ball) -> EnvState:
     dispatch (src/environment.cpp:91-224) on the projected values, embed
     back in a single pass, then apply the episode-end logic on the full
     state."""
-    s0 = s
+    p = s.agent
+    s1 = _step_pre(s, p)
+    return _step_from_view(s, s1, _pview(s1, p), p, action, ball)
+
+
+def fused_sample_step(s: EnvState, srng, ball, mask_src: str = "storage"):
+    """Sampler + step sharing ONE player projection: the sampler reads the
+    current player's stored mask straight off the view instead of a second
+    (4,92) gather. Returns (state', srng', action)."""
+    p = s.agent
+    s1 = _step_pre(s, p)
+    v = _pview(s1, p)
+    mask = v.storage if mask_src == "storage" else s.sel_mask
+    action, srng, tainted = sample_action(srng, mask)
+    s2 = _step_from_view(s, s1, v, p, action, ball)
+    s2 = s2._replace(rng_tainted=s2.rng_tainted | tainted)
+    return s2, srng, action
+
+
+def _step_from_view(s0: EnvState, s: EnvState, v: "PView", p, action,
+                    ball) -> EnvState:
     action = jnp.asarray(action, _i32)
     a_play, a_sp, a_rm, a_mv, a_shop = (action[i] for i in range(5))
-    p = s.agent
-    oh_p = _oh(p, _IOTA4)
     one8 = jnp.asarray(1, _u8)
-
-    s = s._replace(
-        info_steps=_wrap8(s.info_steps + jnp.where(oh_p, one8,
-                                                   jnp.zeros((), _u8))),
-        phase=jnp.where(s.phase == TurnPhase.INACTIVE,
-                        jnp.asarray(int(TurnPhase.MOVEMENT), _i32), s.phase),
-        steps_taken=_wrap8(s.steps_taken + jnp.where(oh_p, one8,
-                                                     jnp.zeros((), _u8))))
-
-    v = _pview(s, p)
     ball_p = _ball_row(ball, p)
 
     b_play = a_play > 0
     b_special = (a_play == 0) & (a_sp > 0)
     b_move = (a_play == 0) & (a_sp == 0) & (a_mv > 0)
+    b_else = (a_play == 0) & (a_sp == 0) & (a_mv == 0)
+    b_shop = b_else & (a_shop > 0)
+    b_remove = b_else & (a_shop == 0) & (a_rm > 0)
+    b_null = b_else & (a_shop == 0) & (a_rm == 0)
 
     # ---- play branch (src/environment.cpp:104-108, src/player.cpp:47-69)
     def f_play(v):
@@ -943,39 +996,40 @@ def step_core(s: EnvState, action, ball) -> EnvState:
                                  jnp.zeros_like(_PAIR[0])))
         req, n_req, is_end = _ball_at_p(ball_p, kidx)
 
-        def handle_req(v):
-            # resource requirement (src/player.cpp:141-150)
-            ridx = jnp.minimum(req, 2)
-            oh_r = _oh(ridx, _IOTA3)
-            left = jnp.where(
-                ridx == 0, v.resources[0],
-                jnp.where(ridx == 1, v.resources[1],
-                          v.resources[2])) - n_req.astype(_f32)
-            res = jnp.where(oh_r, left, 0.0)
-            first = ~v.mip
-            with_play = _play_last_activated_p(v)._replace(
-                mip=jnp.bool_(True))
-            res_state = _select(first, with_play, v)._replace(resources=res)
-            # REMOVE / DISCARD hexes (src/player.cpp:151-158)
-            pick_state = _pick_actives_p(v, n_req, req == 3)
-            pick_state = pick_state._replace(
-                resources=jnp.zeros(3, _f32), mip=jnp.bool_(False))
-            out = _select(req < 3, res_state, v)
-            return _select((req == 3) | (req == 4), pick_state, out)
+        # flat merge of the move sub-branches (src/player.cpp:141-162):
+        # free move / resource requirement / DISCARD-REMOVE hex
+        p_free = v.next_move_free
+        p_res = ~p_free & (req < 3)
+        p_pick = ~p_free & ((req == 3) | (req == 4))
 
-        def free_move(v):
-            return _enable_playing_p(
-                v._replace(next_move_free=jnp.bool_(False)))
+        # resource requirement (src/player.cpp:141-150)
+        ridx = jnp.minimum(req, 2)
+        oh_r = _oh(ridx, _IOTA3)
+        left = jnp.where(
+            ridx == 0, v.resources[0],
+            jnp.where(ridx == 1, v.resources[1],
+                      v.resources[2])) - n_req.astype(_f32)
+        res = jnp.where(oh_r, left, 0.0)
+        first = ~v.mip
+        with_play = _play_last_activated_p(v)._replace(mip=jnp.bool_(True))
+        res_state = _select(first, with_play, v)._replace(resources=res)
+        # REMOVE / DISCARD hexes (src/player.cpp:151-158)
+        pick_state = _pick_actives_p(v, n_req, req == 3)
+        pick_state = pick_state._replace(
+            resources=jnp.zeros(3, _f32), mip=jnp.bool_(False))
+        free_state = _enable_playing_p(
+            v._replace(next_move_free=jnp.bool_(False)))
 
-        v = _select(v.next_move_free, free_move(v), handle_req(v))
+        v = _merge(v, (p_free, free_state), (p_res, res_state),
+                   (p_pick, pick_state))
         return v._replace(n_movements=v.n_movements + 1,
                           has_won=is_end > 0)
 
-    # ---- else branch (src/environment.cpp:128-174)
-    def f_else(v):
+    # ---- else branches (src/environment.cpp:128-174): shop / remove /
+    # null share the next_move_free teardown; each body reads the view
+    # with it already cleared and the flat merge charges one scalar select
+    def f_else_body(v):
         v = v._replace(next_move_free=jnp.bool_(False))
-        b_shop = a_shop > 0
-        b_remove = (a_shop == 0) & (a_rm > 0)
 
         def f_shop(v):
             i = jnp.clip(a_shop - 1, 0, N_BUYABLETYPES - 1)
@@ -1019,16 +1073,16 @@ def step_core(s: EnvState, action, ball) -> EnvState:
                 v._replace(n_removes=jnp.zeros((), _u8)))
             return _select(pending, cleared, v)
 
-        v = _select(b_shop, f_shop(v),
-                    _select(b_remove, f_remove(v), f_null(v)))
-        # next_card_free tail (src/environment.cpp:170-173)
-        freed = _enable_playing_p(
-            v._replace(next_card_free=jnp.bool_(False)))
-        return _select(v.next_card_free, freed, v)
+        return f_shop(v), f_remove(v), f_null(v)
 
-    v = _select(b_play, f_play(v),
-                _select(b_special, f_special(v),
-                        _select(b_move, f_move(v), f_else(v))))
+    shop_v, remove_v, null_v = f_else_body(v)
+    v = _merge(v, (b_play, f_play(v)), (b_special, f_special(v)),
+               (b_move, f_move(v)), (b_shop, shop_v),
+               (b_remove, remove_v), (b_null, null_v))
+    # next_card_free tail (src/environment.cpp:170-173) — reachable only
+    # via the else clause of the dispatch
+    freed = _enable_playing_p(v._replace(next_card_free=jnp.bool_(False)))
+    v = _select(b_else & v.next_card_free, freed, v)
 
     # pending special id (executed after update_observation)
     special = jnp.where(

@@ -184,6 +184,112 @@ def _cse(nodes):
     return kept, repl
 
 
+def _identities(nodes, pool):
+    """Local algebraic rewrites that drop whole nodes.
+
+    The branchless step evaluates every dispatch branch and merges ~25
+    state leaves with ``_select`` — for leaves a branch does not touch both
+    select operands are the SAME value, so the select is an identity. The
+    same shape of waste appears as ``and/or/add/sub/mul`` against neutral
+    constants (mask composition with all-ones/zero heads). None of this is
+    visible to CSE (the nodes are unique); each rewrite here removes a
+    full-width vector op from the kernel body.
+
+    Rules (applied only when the output aval equals the surviving operand's
+    aval, so broadcasting semantics never change):
+      select_n(p, x, x)            -> x
+      and(x, ones) / or(x, zeros)  -> x        (+ mirrored)
+      and(x, zeros)                -> zeros    (+ mirrored)
+      or(x, ones)                  -> ones     (+ mirrored)
+      add/sub/xor (x, 0)           -> x        (add/xor mirrored)
+      mul(x, 1) / mul(x, 0)        -> x / 0    (+ mirrored)
+      select_n(const p, x, y)      -> x|y
+    """
+    kept = []
+    repl = {}
+
+    def res(ref):
+        return repl.get(ref[1], ref) if ref[0] == "v" else ref
+
+    def aval_of(ref):
+        if ref[0] == "k":
+            a = pool.vals[ref[1]]
+            return a.shape, a.dtype
+        return tuple(ref[1].aval.shape), ref[1].aval.dtype
+
+    def const_of(ref):
+        return pool.vals[ref[1]] if ref[0] == "k" else None
+
+    def neutral(c, kind):
+        if c is None:
+            return False
+        if kind == "ones":
+            if c.dtype == np.bool_:
+                return bool(np.all(c))
+            return bool(np.all(c == ~np.zeros((), c.dtype)))
+        return bool(np.all(c == 0)) if kind == "zeros" else False
+
+    for node in nodes:
+        node.inrefs = [res(r) for r in node.inrefs]
+        name = node.prim.name
+        out = None  # ref to forward the (single) output to
+        if len(node.outvars) == 1:
+            oav = (tuple(node.outvars[0].aval.shape),
+                   node.outvars[0].aval.dtype)
+            irs = node.inrefs
+
+            def same(i):
+                return aval_of(irs[i]) == oav
+
+            if name == "select_n" and len(irs) == 3:
+                if irs[1] == irs[2] and same(1):
+                    out = irs[1]
+                else:
+                    p = const_of(irs[0])
+                    if p is not None and p.ndim == 0:
+                        pick = irs[1 + int(p)]
+                        if aval_of(pick) == oav:
+                            out = pick
+            elif name in ("and", "or", "add", "sub", "mul", "xor"):
+                c0, c1 = const_of(irs[0]), const_of(irs[1])
+                if name == "and":
+                    if neutral(c1, "ones") and same(0):
+                        out = irs[0]
+                    elif neutral(c0, "ones") and same(1):
+                        out = irs[1]
+                    elif neutral(c1, "zeros") and same(1):
+                        out = irs[1]
+                    elif neutral(c0, "zeros") and same(0):
+                        out = irs[0]
+                elif name == "or":
+                    if neutral(c1, "zeros") and same(0):
+                        out = irs[0]
+                    elif neutral(c0, "zeros") and same(1):
+                        out = irs[1]
+                elif name in ("add", "xor"):
+                    if neutral(c1, "zeros") and same(0):
+                        out = irs[0]
+                    elif neutral(c0, "zeros") and same(1):
+                        out = irs[1]
+                elif name == "sub":
+                    if neutral(c1, "zeros") and same(0):
+                        out = irs[0]
+                elif name == "mul":
+                    if neutral(c1, "ones") and same(0):
+                        out = irs[0]
+                    elif neutral(c0, "ones") and same(1):
+                        out = irs[1]
+                    elif neutral(c1, "zeros") and same(1):
+                        out = irs[1]
+                    elif neutral(c0, "zeros") and same(0):
+                        out = irs[0]
+        if out is not None:
+            repl[node.outvars[0]] = out
+            continue
+        kept.append(node)
+    return kept, repl
+
+
 def _dce(nodes, outrefs):
     live = {r[1] for r in outrefs if r[0] == "v"}
     kept = []
@@ -200,19 +306,30 @@ def build_plan(closed_jaxpr, block) -> Plan:
     pool = _Pool()
     nodes, invars, outrefs = _flatten(closed_jaxpr, pool)
     n0 = len(nodes)
-    nodes, repl_f = _fold(nodes, pool, block)
-    nodes, repl_c = _cse(nodes)
+    # fold/CSE/identity rewrites enable one another (an identity fold can
+    # make two nodes structurally equal; CSE can make a select's branches
+    # identical) — iterate to fixpoint
+    for _ in range(4):
+        before = len(nodes)
+        repls = []
+        nodes, r = _fold(nodes, pool, block)
+        repls.append(r)
+        nodes, r = _cse(nodes)
+        repls.append(r)
+        nodes, r = _identities(nodes, pool)
+        repls.append(r)
 
-    def res(ref):
-        if ref[0] != "v":
+        def res(ref, repls=repls):
+            for rp in repls:
+                if ref[0] != "v":
+                    return ref
+                ref = rp.get(ref[1], ref)
             return ref
-        ref = repl_f.get(ref[1], ref)
-        if ref[0] != "v":
-            return ref
-        return repl_c.get(ref[1], ref)
 
-    outrefs = [res(r) for r in outrefs]
-    nodes = _dce(nodes, outrefs)
+        outrefs = [res(r) for r in outrefs]
+        nodes = _dce(nodes, outrefs)
+        if len(nodes) == before:
+            break
 
     # prune pool to constants still referenced
     used = sorted({r[1] for n in nodes for r in n.inrefs if r[0] == "k"}

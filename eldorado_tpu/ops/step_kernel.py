@@ -83,16 +83,9 @@ def _step_values(feat, mask_src, *flat):
               max_steps)
     s = E.merge_state(static, tuple(dyn))
 
-    if mask_src == "storage":
-        oh = s.agent[:, None, None] == np.arange(4)[None, :, None]
-        masks = jnp.max(
-            jnp.where(oh, s.storage_masks.astype(jnp.int32),
-                      jnp.zeros((), jnp.int32)), axis=1) > 0
-    else:
-        masks = s.sel_mask
-    actions, srng, tainted = jax.vmap(E.sample_action)(srng, masks)
-    s = jax.vmap(E.step_core)(s, actions, (breq, bnr, bend))
-    s = s._replace(rng_tainted=s.rng_tainted | tainted)
+    s, srng, actions = jax.vmap(
+        lambda a, b, c: E.fused_sample_step(a, b, c, mask_src))(
+            s, srng, (breq, bnr, bend))
 
     _, dyn_out = E.split_state(s)
     return tuple(dyn_out) + (srng, actions.astype(_i32))

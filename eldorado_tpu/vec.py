@@ -153,11 +153,11 @@ def rollout(states, sampler_rngs, n_steps: int, mask_src: str = "storage",
         so the done check lives on the host).
     """
     def sample_and_step(s, rngs):
-        actions, rngs, tainted = jax.vmap(E.sample_action)(
-            rngs, _active_mask(s, mask_src))
-        s = _vstep(s, actions)
-        s = s._replace(rng_tainted=s.rng_tainted | tainted)
-        return s, rngs, actions
+        # one player projection shared by sampler + step (fused_sample_step)
+        ball = jax.vmap(E._ball_cells)(s)
+        return jax.vmap(
+            lambda a, b, c: E.fused_sample_step(a, b, c, mask_src))(
+                s, rngs, ball)
 
     if auto_reset == "step":
         # exact vec semantics: reset may regenerate maps mid-scan, so the
