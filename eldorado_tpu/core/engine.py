@@ -657,13 +657,20 @@ def _ball_cells(s: EnvState):
     from the map observation. Single-env; vmap for batches. This is the
     step's entire map read set (move target, movement masks after at most
     one hop, end-of-game check)."""
-    tgt = s.player_xy[:, None, :] + _BALL[None, :, :]          # (4,19,2)
-    d = tgt - s.min_xy
+    return _ball_cells_xy(s.map_obs, s.min_xy, s.player_xy)
+
+
+def _ball_cells_xy(map_obs, min_xy, player_xy):
+    """_ball_cells from explicit (map_obs, min_xy, player_xy) — the only
+    state it reads. Lets rollout drivers that keep the rest of the state in
+    a kernel-native layout pregather from just the positions."""
+    tgt = player_xy[:, None, :] + _BALL[None, :, :]            # (4,19,2)
+    d = tgt - min_xy
     idx = jnp.where(d >= 0, (d >> 1) + 1, jnp.where(d == -1, 1, 0))
     ix, iy = idx[..., 0], idx[..., 1]
     in_grid = (ix >= 0) & (ix < GRIDSIZE) & (iy >= 0) & (iy < GRIDSIZE)
-    cell = s.map_obs[jnp.clip(ix, 0, GRIDSIZE - 1),
-                     jnp.clip(iy, 0, GRIDSIZE - 1)].astype(_i32)
+    cell = map_obs[jnp.clip(ix, 0, GRIDSIZE - 1),
+                   jnp.clip(iy, 0, GRIDSIZE - 1)].astype(_i32)
     cell = jnp.where(in_grid[..., None], cell, 0)
     reqch = cell[..., 1:6]
     present = reqch > 0
@@ -673,15 +680,91 @@ def _ball_cells(s: EnvState):
     return req, n_req, cell[..., 6]                            # each (4,19)
 
 
+def pack_ball_plane(map_obs):
+    """Per-cell (req, n_req, is_end) of one env's 48x48 map packed into a
+    flat i32 plane with a trailing sentinel row: plane[2304] = (req=5,
+    nr=0, end=0), the read for out-of-grid ball targets. Layout:
+    req | nr << 3 | end << 6. Single-env; vmap for batches.
+
+    Precomputing this once per reset moves _cells' channel math
+    (src/map.cpp:389-405 rasterisation semantics) out of the per-step
+    pregather: the rollout's map read becomes ONE gather of packed bytes.
+    """
+    cell = map_obs.reshape(GRIDSIZE * GRIDSIZE, 7).astype(_i32)
+    reqch = cell[:, 1:6]
+    present = reqch > 0
+    req = jnp.where(jnp.any(present, axis=-1),
+                    jnp.argmax(present, axis=-1), 5)
+    nr = jnp.max(jnp.where(present, reqch, 0), axis=-1)
+    packed = req | (nr << 3) | (cell[:, 6] << 6)
+    return jnp.concatenate([packed, jnp.asarray([5], _i32)])
+
+
+def unpack_ball(packed):
+    """Inverse of pack_ball_plane's encoding: (req, n_req, is_end)."""
+    return packed & 7, (packed >> 3) & 7, (packed >> 6) & 1
+
+
+def pack_ball_table(map_obs):
+    """Per-cell ball table of one env: (2304, 5) i32 where row c holds the
+    19 packed ball cells (pack_ball_plane encoding, 4 cells x 7 bits per
+    word, cell k at word k//4 shift 7*(k%4)) of the ball AROUND grid cell
+    c — i.e. _ball_cells precomputed for every possible player cell.
+
+    Every _BALL offset is even in both doubled coordinates (two chained
+    hex directions), and every hex in a connected map shares both
+    coordinate parities, so in grid space (idx = (xy-min)//2 + 1,
+    src/map.cpp:389-405 rasterisation) the ball is a FIXED 19-point
+    stencil with offsets _BALL//2: the table is 19 padded static shifts
+    of the packed plane — no gathers. Off-grid targets read the packed
+    sentinel 5 (req=5, nr=0, end=0), which equals the never-rasterised
+    border rows' packed value, so the table matches _ball_cells exactly
+    for every in-grid centre. Single-env; vmap for batches."""
+    plane = pack_ball_plane(map_obs)[:-1].reshape(GRIDSIZE, GRIDSIZE)
+    pad = jnp.pad(plane, 2, constant_values=5)
+    cells = [pad[2 + dx:2 + dx + GRIDSIZE, 2 + dy:2 + dy + GRIDSIZE]
+             for dx, dy in np.asarray(_BALL) // 2]
+    cells.append(jnp.zeros((GRIDSIZE, GRIDSIZE), _i32))   # pad k=19
+    words = [cells[4 * j] | (cells[4 * j + 1] << 7)
+             | (cells[4 * j + 2] << 14) | (cells[4 * j + 3] << 21)
+             for j in range(5)]
+    return jnp.stack(words, -1).reshape(GRIDSIZE * GRIDSIZE, 5)
+
+
+def pack_ball_rows(req, nr, end):
+    """(..., 19) ball cell triples -> (..., 5) packed i32 row words
+    (pack_ball_table layout): cell k at word k//4, bit offset 7*(k%4)."""
+    cells = req | (nr << 3) | (end << 6)
+    cells = jnp.concatenate(
+        [cells, jnp.zeros(cells.shape[:-1] + (1,), _i32)], -1)
+    c = cells.reshape(cells.shape[:-1] + (5, 4))
+    return (c[..., 0] | (c[..., 1] << 7) | (c[..., 2] << 14)
+            | (c[..., 3] << 21))
+
+
+def ball_flat_idx(min_xy, player_xy):
+    """Flat plane indices (+sentinel default) of every player's 19-cell
+    2-hop ball: (4,19) i32 in [0, 2304]. Pure elementwise math — callers
+    can evaluate it in any batch layout."""
+    tgt = player_xy[:, None, :] + _BALL[None, :, :]            # (4,19,2)
+    d = tgt - min_xy
+    idx = jnp.where(d >= 0, (d >> 1) + 1, jnp.where(d == -1, 1, 0))
+    ix, iy = idx[..., 0], idx[..., 1]
+    in_grid = ((ix >= 0) & (ix < GRIDSIZE) & (iy >= 0) & (iy < GRIDSIZE))
+    return jnp.where(in_grid, ix * GRIDSIZE + iy, GRIDSIZE * GRIDSIZE)
+
+
 def _ball_row(ball, p):
-    """Player p's pregathered ball rows: (breq, bnr, bend), each (19,)."""
-    breq, bnr, bend = ball
+    """Player p's ball row from packed (4, 5) row words (pack_ball_rows
+    layout): (req, n_req, is_end), each (19,). The 5 words are selected
+    BEFORE unpacking, so every tensor stays rank<=2 — rank>=4
+    intermediates trip XLA/Mosaic slow paths (measured ~1000x on TPU)."""
     sel_p = _oh(p, _IOTA4[:, None])
-    row_req = jnp.max(jnp.where(sel_p, breq, -1), axis=0)
-    row_req = jnp.where(row_req < 0, 5, row_req)
-    row_nr = jnp.max(jnp.where(sel_p, bnr, jnp.zeros_like(bnr)), axis=0)
-    row_end = jnp.max(jnp.where(sel_p, bend, jnp.zeros_like(bend)), axis=0)
-    return row_req, row_nr, row_end
+    words = jnp.max(jnp.where(sel_p, ball, 0), axis=0)          # (5,)
+    cells = jnp.concatenate(
+        [(words[k // 4:k // 4 + 1] >> (7 * (k % 4))) & 127
+         for k in range(N_BALL)])                               # (19,)
+    return cells & 7, (cells >> 3) & 7, (cells >> 6) & 1
 
 
 def _ball_at_p(ball_p, k):
@@ -902,7 +985,7 @@ def step_env(s: EnvState, action) -> EnvState:
     """cog_env::step (src/environment.cpp:91-224). ``action``: i32[5]
     (play, play_special, remove, move, get_from_shop); dead steps (done
     envs) are no-ops."""
-    return step_core(s, action, _ball_cells(s))
+    return step_core(s, action, pack_ball_rows(*_ball_cells(s)))
 
 
 def _step_pre(s: EnvState, p) -> EnvState:
@@ -921,8 +1004,9 @@ def _step_pre(s: EnvState, p) -> EnvState:
 
 def step_core(s: EnvState, action, ball) -> EnvState:
     """The map-free step body: all map reads come from the pregathered
-    2-hop ``ball`` cells (see _ball_cells). Shared verbatim by the XLA path
-    (step_env) and the Pallas mega-kernel (ops/step_kernel.py).
+    2-hop ``ball`` — (4, 5) i32 packed row words (pack_ball_rows over
+    _ball_cells). Shared verbatim by the XLA path (step_env) and the
+    Pallas mega-kernel (ops/step_kernel.py).
 
     Structure: project the current player ONCE (PView), run the whole
     dispatch (src/environment.cpp:91-224) on the projected values, embed

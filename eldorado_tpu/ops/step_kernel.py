@@ -68,9 +68,13 @@ def _step_values(feat, mask_src, *flat):
     n_dyn = len(feat)
     dyn = list(flat[:n_dyn])
     srng = flat[n_dyn]
-    breq, bnr, bend = flat[n_dyn + 1], flat[n_dyn + 2], flat[n_dyn + 3]
-    n_players = flat[n_dyn + 4]
-    max_steps = flat[n_dyn + 5]
+    # ball cells arrive as five separate (4,) i32 packed word tensors per
+    # env (engine.pack_ball_table row layout, 4 cells x 7 bits per word):
+    # the rollout's 5 flat gathers feed the kernel directly — no XLA-side
+    # stack, and the (4, 5) assembly happens on VMEM values
+    ball = jnp.stack(flat[n_dyn + 1:n_dyn + 6], axis=-1)
+    n_players = flat[n_dyn + 6]
+    max_steps = flat[n_dyn + 7]
 
     b = srng.shape[0]
     static = (jnp.zeros((b, 1, 1, 7), jnp.uint8),   # map_obs (never read)
@@ -85,7 +89,7 @@ def _step_values(feat, mask_src, *flat):
 
     s, srng, actions = jax.vmap(
         lambda a, b, c: E.fused_sample_step(a, b, c, mask_src))(
-            s, srng, (breq, bnr, bend))
+            s, srng, ball)
 
     _, dyn_out = E.split_state(s)
     return tuple(dyn_out) + (srng, actions.astype(_i32))
@@ -326,8 +330,8 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
     _, dyn = E.split_state(states)
     ex = [jnp.zeros((block,) + x.shape[1:], x.dtype) for x in dyn]
     ex.append(jnp.zeros((block,), jnp.int32))
-    for _ in range(3):
-        ex.append(jnp.zeros((block, 4, E.N_BALL), _i32))
+    for _ in range(5):
+        ex.append(jnp.zeros((block, 4), _i32))  # packed ball row words
     ex.append(jnp.zeros((block,), _i32))
     ex.append(jnp.zeros((block,), _i32))
     body = functools.partial(_step_values, feat, mask_src)
@@ -362,8 +366,8 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
     n_in = len(ex)
 
     in_meta = ([(len(f) == 0, d == jnp.bool_) for _, f, d in feat]
-               + [(True, False), (False, False), (False, False),
-                  (False, False), (True, False), (True, False)])
+               + [(True, False)] + [(False, False)] * 5
+               + [(True, False), (True, False)])
 
     def kernel(*refs):
         ins = refs[:n_in]
@@ -435,19 +439,16 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
                        + [jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
                           jax.ShapeDtypeStruct((nb, 5, block), _i32)])
 
-    def fused(states, srngs):
-        ball = jax.vmap(E._ball_cells)(states)  # XLA gather from the map
-        _, dyn = E.split_state(states)
-        # XLA-side transposes to blocked env-minor: ~2x dynamic-state bytes
-        # per step, trivial next to the kernel itself
-        ins = [t_in(x.astype(_i32) if x.dtype == jnp.bool_ else x)
-               for x in dyn]
-        ins.append(t_in(srngs))
-        for part in ball:
-            ins.append(t_in(part))
-        ins.append(t_in(states.n_players))
-        ins.append(t_in(states.max_steps))
-
+    def fused_blocked(bdyn, bsrng, bball, bnp, bms):
+        """One fused step on BLOCKED env-minor buffers: every operand and
+        result is (nb, f..., block) with bools as i32. This is the layout
+        the kernel wants; keeping the rollout carry in it avoids the
+        per-leaf XLA transposes that otherwise dominate the step (measured
+        ~8x the kernel's own cost). ``bball`` is a 5-tuple of packed
+        per-player ball row words (engine.pack_ball_table layout), each
+        (nb, 4, block) — separate inputs so the rollout's flat gathers
+        feed the kernel without an XLA-side stack."""
+        ins = list(bdyn) + [bsrng] + list(bball) + [bnp, bms]
         outs = pl.pallas_call(
             kernel,
             grid=(n // block,),
@@ -461,16 +462,34 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(*ins, *uniq2d)
+        return tuple(outs[:n_dyn]), outs[n_dyn], outs[n_dyn + 1]
+
+    def fused(states, srngs):
+        req, nr, end = jax.vmap(E._ball_cells)(states)  # XLA map gather
+        _, dyn = E.split_state(states)
+        ins = [t_in(x.astype(_i32) if x.dtype == jnp.bool_ else x)
+               for x in dyn]
+        rows = E.pack_ball_rows(req, nr, end)           # (n, 4, 5)
+        bball = tuple(t_in(rows[:, :, j]) for j in range(5))
+        new_bdyn, bsrng, bact = fused_blocked(
+            tuple(ins), t_in(srngs), bball,
+            t_in(states.n_players), t_in(states.max_steps))
 
         new_dyn = []
-        for o, (_, fshape, fdtype) in zip(outs[:n_dyn], feat):
+        for o, (_, fshape, fdtype) in zip(new_bdyn, feat):
+            o = t_out(o, fshape)
             if fdtype == jnp.bool_:
                 o = o != 0
-            new_dyn.append(t_out(o, fshape))
+            new_dyn.append(o)
         new_dyn = tuple(new_dyn)
         static, _ = E.split_state(states)
         new_states = E.merge_state(static, new_dyn)
-        return (new_states, t_out(outs[n_dyn], ()),
-                t_out(outs[n_dyn + 1], (5,)))
+        return new_states, t_out(bsrng, ()), t_out(bact, (5,))
 
+    fused.blocked = fused_blocked
+    fused.t_in = t_in
+    fused.t_out = t_out
+    fused.feat = feat
+    fused.nb = nb
+    fused.block = block
     return fused

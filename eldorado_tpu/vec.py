@@ -154,7 +154,7 @@ def rollout(states, sampler_rngs, n_steps: int, mask_src: str = "storage",
     """
     def sample_and_step(s, rngs):
         # one player projection shared by sampler + step (fused_sample_step)
-        ball = jax.vmap(E._ball_cells)(s)
+        ball = E.pack_ball_rows(*jax.vmap(E._ball_cells)(s))
         return jax.vmap(
             lambda a, b, c: E.fused_sample_step(a, b, c, mask_src))(
                 s, rngs, ball)
@@ -228,42 +228,144 @@ def reset_done_bucketed(states, done=None, check_maps=True):
 _KERNEL_CACHE = {}
 
 
-def kernel_rollout(states, sampler_rngs, n_steps: int,
-                   mask_src: str = "storage", block: int = 256,
-                   interpret: bool = False):
-    """Rollout driven by the fused Pallas step kernel
-    (ops/step_kernel.py): one kernel launch + one map pregather per step,
-    under a lax.scan with the static (map) state outside the carry. Same
-    dead-step semantics as rollout(auto_reset='none')."""
-    from .ops.step_kernel import make_fused_step
+class _KernelPrograms:
+    """Compiled programs for blocked kernel rollouts, built once per
+    (n, mask_src, block, interpret, map-shape) and cached.
+
+    The scan carry lives in the kernel's blocked env-minor layout; these
+    pieces let callers keep it there ACROSS dispatches (rollout_chunked),
+    paying the block/unblock transposes only around host-driven resets:
+
+    * ``block_in(states, rngs) -> (bctx, bdyn, brngs)`` — block the
+      dynamic state and precompute the per-cell packed ball tables
+      (engine.pack_ball_table) + blocked step-static inputs.
+    * ``run(bctx, bdyn, brngs, n_steps, want_traj)`` — the scan. Returns
+      ``(bdyn, brngs, any_done, traj)``; ``any_done`` is a device scalar
+      for cheap host polling; ``traj`` is blocked per-step
+      (actions, done, rewards, agent) or None.
+    * ``unblock(states, bdyn, brngs) -> (states', rngs)`` — back to the
+      env-major EnvState (static leaves from ``states``).
+    * ``unblock_traj(traj)`` — per-step outputs to env-major.
+    """
+
+    def __init__(self, states, mask_src, block, interpret):
+        from .ops.step_kernel import make_fused_step
+        fused = make_fused_step(states, mask_src, block, interpret)
+        t_in, t_out = fused.t_in, fused.t_out
+        feat = fused.feat
+        i_xy = E.DYN_FIELDS.index("player_xy")
+        i_done = E.DYN_FIELDS.index("done")
+        i_rew = E.DYN_FIELDS.index("rewards")
+        i_agent = E.DYN_FIELDS.index("agent")
+        n = int(states.rng.shape[0])
+        GRID2 = E.GRIDSIZE * E.GRIDSIZE
+
+        @jax.jit
+        def block_in(states, rngs):
+            _, dyn = _split_state(states)
+            tab = jax.vmap(E.pack_ball_table)(states.map_obs)
+            bctx = (tuple(tab[:, :, j].reshape(-1) for j in range(5)),
+                    t_in(states.min_xy), t_in(states.n_players),
+                    t_in(states.max_steps))
+            bdyn = tuple(
+                t_in(x.astype(jnp.int32) if x.dtype == jnp.bool_ else x)
+                for x in dyn)
+            return bctx, bdyn, t_in(rngs)
+
+        @functools.partial(jax.jit, static_argnums=(3, 4),
+                           donate_argnums=(1, 2))
+        def run(bctx, bdyn, brngs, n_steps, want_traj):
+            # The per-step map read is five flat gathers of packed
+            # per-cell ball rows (engine.pack_ball_table) at the players'
+            # grid cells, indexed in blocked layout — zero per-step layout
+            # transposes, and every index tensor stays rank-3
+            # (nb, 4, block): XLA TPU gathers and elementwise ops degrade
+            # ~1000x on rank>=4 index/operand shapes (measured: one
+            # (nb,4,19,block)-indexed gather 2.5ms vs 19 small 3us).
+            tabs, bmin, bnp, bms = bctx
+            ebase = t_in(jnp.arange(n, dtype=jnp.int32) * GRID2)
+
+            def body(carry, _):
+                bdyn, brngs = carry
+                # players' own grid cells (always in-grid hexes, so the
+                # plain (d>>1)+1 rasterisation index applies): bxy
+                # (nb, 4, 2, block) -> flat cell idx (nb, 4, block)
+                d = bdyn[i_xy] - bmin[:, None]
+                cx = (d[:, :, 0, :] >> 1) + 1
+                cy = (d[:, :, 1, :] >> 1) + 1
+                # inactive players sit at xy=(0,0) (engine reset), whose
+                # cell can fall outside the grid; their rows are never
+                # consumed by the step, so clamping is value-irrelevant
+                flat = jnp.clip(cx * E.GRIDSIZE + cy, 0, GRID2 - 1)
+                gidx = flat + ebase
+                brows = tuple(t.at[gidx].get(mode="promise_in_bounds")
+                              for t in tabs)           # 5 x (nb, 4, block)
+                bdyn, brngs, bact = fused.blocked(bdyn, brngs, brows,
+                                                  bnp, bms)
+                out = ((bact, bdyn[i_done], bdyn[i_rew], bdyn[i_agent])
+                       if want_traj else None)
+                return (bdyn, brngs), out
+
+            (bdyn, brngs), traj = jax.lax.scan(
+                body, (bdyn, brngs), None, length=n_steps)
+            any_done = jnp.max(bdyn[i_done]) > 0
+            return bdyn, brngs, any_done, traj
+
+        @jax.jit
+        def unblock(states, bdyn, brngs):
+            static, _ = _split_state(states)
+            new_dyn = []
+            for o, (_, fshape, fdtype) in zip(bdyn, feat):
+                o = t_out(o, fshape)
+                if fdtype == jnp.bool_:
+                    o = o != 0
+                new_dyn.append(o)
+            return _merge_state(static, tuple(new_dyn)), t_out(brngs, ())
+
+        @jax.jit
+        def unblock_traj(traj):
+            # (T, nb, f..., block) -> (T, n, f...): vmap the unblocker
+            bact, bdone, brew, bagent = traj
+            return (jax.vmap(lambda x: t_out(x, (5,)))(bact),
+                    jax.vmap(lambda x: t_out(x, ()))(bdone) != 0,
+                    jax.vmap(lambda x: t_out(x, (4,)))(brew),
+                    jax.vmap(lambda x: t_out(x, ()))(bagent))
+
+        self.block_in = block_in
+        self.run = run
+        self.unblock = unblock
+        self.unblock_traj = unblock_traj
+
+
+def _kernel_programs(states, mask_src: str = "storage", block: int = 256,
+                     interpret: bool = False) -> _KernelPrograms:
     n = int(states.rng.shape[0])
     key = (n, mask_src, min(block, n), interpret,
            tuple(states.map_obs.shape))
     if key not in _KERNEL_CACHE:
-        fused = make_fused_step(states, mask_src, block, interpret)
+        _KERNEL_CACHE[key] = _KernelPrograms(states, mask_src,
+                                             min(block, n), interpret)
+    return _KERNEL_CACHE[key]
 
-        @functools.partial(jax.jit, static_argnums=(2,))
-        def run(states, rngs, n_steps):
-            static, dyn0 = _split_state(states)
 
-            def body(carry, _):
-                dyn, rngs = carry
-                s = _merge_state(static, dyn)
-                s, rngs, actions = fused(s, rngs)
-                _, dyn = _split_state(s)
-                return (dyn, rngs), (actions, s.done, s.rewards, s.agent)
-
-            (dyn, rngs), traj = jax.lax.scan(
-                body, (dyn0, sampler_rngs), None, length=n_steps)
-            return _merge_state(static, dyn), rngs, traj
-
-        _KERNEL_CACHE[key] = run
-    return _KERNEL_CACHE[key](states, sampler_rngs, n_steps)
+def kernel_rollout(states, sampler_rngs, n_steps: int,
+                   mask_src: str = "storage", block: int = 256,
+                   interpret: bool = False):
+    """Rollout driven by the fused Pallas step kernel
+    (ops/step_kernel.py): one kernel launch + five tiny ball-row gathers
+    per step, under a lax.scan whose carry stays in the kernel's blocked
+    env-minor layout. Same dead-step semantics as
+    rollout(auto_reset='none')."""
+    progs = _kernel_programs(states, mask_src, block, interpret)
+    bctx, bdyn, brngs = progs.block_in(states, sampler_rngs)
+    bdyn, brngs, _, traj = progs.run(bctx, bdyn, brngs, n_steps, True)
+    out_states, rngs = progs.unblock(states, bdyn, brngs)
+    return out_states, rngs, progs.unblock_traj(traj)
 
 
 def rollout_chunked(states, sampler_rngs, n_steps: int, chunk: int = 100,
                     mask_src: str = "storage", backend: str = "xla",
-                    block: int = 256):
+                    block: int = 256, interpret: bool = False):
     """High-throughput driver: dispatch `chunk`-step scans and auto-reset
     finished envs between dispatches. The host-side `any(done)` check makes
     the reset program free on chunks where no episode ended; otherwise only
@@ -272,16 +374,29 @@ def rollout_chunked(states, sampler_rngs, n_steps: int, chunk: int = 100,
 
     backend: "xla" scans the vmapped step; "kernel" scans the fused Pallas
     step kernel (ops/step_kernel.py) — same trajectory either way (the
-    kernel is bit-exact vs the XLA path, tests/test_step_kernel.py)."""
+    kernel is bit-exact vs the XLA path, tests/test_step_kernel.py). The
+    kernel path keeps the state blocked across chunks: the env-major
+    round-trip (~25 ms of layout transposes at 4096 envs) is paid only on
+    chunks where an episode actually finished."""
     import numpy as np
     episodes = 0
-    for _ in range(max(1, n_steps // chunk)):
-        if backend == "kernel":
-            states, sampler_rngs, _ = kernel_rollout(
-                states, sampler_rngs, chunk, mask_src, block)
-        else:
-            states, sampler_rngs, _ = rollout(states, sampler_rngs, chunk,
-                                              mask_src, "none")
+    n_chunks = max(1, n_steps // chunk)
+    if backend == "kernel":
+        progs = _kernel_programs(states, mask_src, block, interpret)
+        bctx, bdyn, brngs = progs.block_in(states, sampler_rngs)
+        for _ in range(n_chunks):
+            bdyn, brngs, any_done, _ = progs.run(bctx, bdyn, brngs,
+                                                 chunk, False)
+            if bool(any_done):
+                states, sampler_rngs = progs.unblock(states, bdyn, brngs)
+                states, n = reset_done_bucketed(states)
+                episodes += n
+                bctx, bdyn, brngs = progs.block_in(states, sampler_rngs)
+        states, sampler_rngs = progs.unblock(states, bdyn, brngs)
+        return states, sampler_rngs, episodes
+    for _ in range(n_chunks):
+        states, sampler_rngs, _ = rollout(states, sampler_rngs, chunk,
+                                          mask_src, "none")
         done = np.asarray(states.done)
         if done.any():
             states, n = reset_done_bucketed(states, done)

@@ -18,23 +18,31 @@ from eldorado_tpu.core.ref_engine import RefEnv, RefSampler
 
 GOLDEN = "tests/golden"
 
-# (file, mask_src, max_steps, step_limit or None=full)
+# (file, mask_src, max_steps, step_limit or None=full, slow)
+# The scalar numpy replays dominate suite wall time (~30-60 s each); the
+# default run keeps one fast representative per surface (truncation,
+# hard-difficulty, 4p-medium, storage-mask truncation) and `-m slow`
+# replays the full corpus. The JAX engine replays ALL corpora every run
+# (tests/test_jax_parity.py) — this file validates the numpy spec twin.
 CASES = [
-    ("traj_2p_easy", 0, 100000, None),
-    ("traj_4p_easy", 0, 100000, None),
-    ("traj_4p_medium", 0, 100000, None),
-    ("traj_3p_hard", 0, 100000, None),
-    ("traj_win_2p", 0, 100000, None),
-    ("traj_win_4p", 0, 100000, None),
-    ("traj_trunc", 0, 100, None),
-    ("traj_2p_easy_storage", 1, 100000, None),
-    ("traj_4p_easy_storage", 1, 100000, None),
-    ("traj_trunc_storage", 1, 100, None),
+    ("traj_2p_easy", 0, 100000, None, True),
+    ("traj_4p_easy", 0, 100000, None, True),
+    ("traj_4p_medium", 0, 100000, None, False),
+    ("traj_3p_hard", 0, 100000, None, False),
+    ("traj_win_2p", 0, 100000, None, True),
+    ("traj_win_4p", 0, 100000, None, True),
+    ("traj_trunc", 0, 100, None, False),
+    ("traj_2p_easy_storage", 1, 100000, None, True),
+    ("traj_4p_easy_storage", 1, 100000, None, True),
+    ("traj_trunc_storage", 1, 100, None, False),
     # full 20k-step run takes ~8 min in the scalar engine; the first 2500
     # steps already cover moves/specials/shop/removes. The full run is
     # exercised by `pytest -m slow`.
-    ("traj_win_storage", 1, 100000, 2500),
+    ("traj_win_storage", 1, 100000, 2500, True),
 ]
+CASES = [pytest.param(*c[:4], marks=[pytest.mark.slow] if c[4] else [],
+                      id=f"{c[0]}-{c[1]}-{c[2]}-{c[3]}")
+         for c in CASES]
 
 FIELDS = [
     ("done", "done"), ("agent", "agent"), ("phase", "phase"),

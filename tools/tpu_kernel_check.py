@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
@@ -75,7 +77,11 @@ def main():
         rngs = sampler_init(42, n)
         # compile + warm
         t0 = time.time()
-        s, r, _ = kernel_rollout(states, rngs, 10, "storage", args.block)
+        # warm the SAME program that gets timed: n_steps is a static
+        # argnum, so a different step count would compile separately and
+        # the timed call would include its own ~30s compile
+        s, r, _ = kernel_rollout(states, rngs, args.timing_steps,
+                                 "storage", args.block)
         jax.block_until_ready(s.rng)
         print(f"timing-path compile+warm: {time.time()-t0:.1f}s", flush=True)
         t0 = time.time()
