@@ -48,7 +48,7 @@ def _prewarm_resets(states, n_envs):
 
 
 def run_config(envs, chunk, chunks, players, pieces, difficulty, backend,
-               block):
+               block, reset_mode="sync"):
     """Returns (steps_per_sec, actual_backend, episodes)."""
     from eldorado_tpu.vec import rollout_chunked, sampler_init, vec_reset
 
@@ -59,7 +59,8 @@ def run_config(envs, chunk, chunks, players, pieces, difficulty, backend,
     if backend == "kernel":
         try:
             s, r, _ = rollout_chunked(states, rngs, chunk, chunk,
-                                      backend="kernel", block=block)
+                                      backend="kernel", block=block,
+                                      reset_mode=reset_mode)
             jax.block_until_ready(s.rng)
         except Exception as e:  # Mosaic/toolchain failure: fall back
             print(f"kernel backend failed ({type(e).__name__}: {e}); "
@@ -73,7 +74,8 @@ def run_config(envs, chunk, chunks, players, pieces, difficulty, backend,
     kb = "kernel" if backend == "kernel" else "xla"
     t0 = time.time()
     states, rngs, episodes = rollout_chunked(
-        states, rngs, chunk * chunks, chunk, backend=kb, block=block)
+        states, rngs, chunk * chunks, chunk, backend=kb, block=block,
+        reset_mode=reset_mode)
     jax.block_until_ready(states.rng)
     dt = time.time() - t0
     return envs * chunk * chunks / dt, backend, episodes
@@ -82,8 +84,13 @@ def run_config(envs, chunk, chunks, players, pieces, difficulty, backend,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
-    ap.add_argument("--chunk", type=int, default=100)
-    ap.add_argument("--chunks", type=int, default=10)
+    ap.add_argument("--chunk", type=int, default=1500)
+    ap.add_argument("--chunks", type=int, default=7)
+    ap.add_argument("--reset-mode", choices=["sync", "async"],
+                    default="sync",
+                    help="sync: on-device queued resets at each boundary; "
+                         "async: host-CPU procgen overlapped with the next "
+                         "chunk (see vec.rollout_chunked)")
     ap.add_argument("--players", type=int, default=4)
     ap.add_argument("--pieces", type=int, default=3)
     ap.add_argument("--difficulty", type=int, default=0)
@@ -100,7 +107,7 @@ def main():
             sps, be, eps = run_config(n, args.chunk, args.chunks,
                                       args.players, args.pieces,
                                       args.difficulty, args.backend,
-                                      min(args.block, n))
+                                      min(args.block, n), args.reset_mode)
             print(f"sweep {be}@{n}: {sps:,.0f} steps/s "
                   f"({eps} episodes)", file=sys.stderr)
     if args.all_modes:
@@ -108,19 +115,23 @@ def main():
         sps, be, eps = run_config(args.envs, args.chunk, args.chunks,
                                   args.players, args.pieces,
                                   args.difficulty, other,
-                                  min(args.block, args.envs))
+                                  min(args.block, args.envs),
+                                  args.reset_mode)
         print(f"mode {be}@{args.envs}: {sps:,.0f} steps/s "
               f"({eps} episodes)", file=sys.stderr)
 
     sps, backend, episodes = run_config(
         args.envs, args.chunk, args.chunks, args.players, args.pieces,
-        args.difficulty, args.backend, min(args.block, args.envs))
+        args.difficulty, args.backend, min(args.block, args.envs),
+        args.reset_mode)
     print(json.dumps({
         "metric": f"env_steps_per_sec@{args.envs}envs",
         "value": round(sps, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 4),
         "backend": backend,
+        "reset_mode": args.reset_mode,
+        "chunk": args.chunk,
         "episodes_reset_mid_run": episodes,
     }))
     return 0

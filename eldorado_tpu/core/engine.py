@@ -680,91 +680,171 @@ def _ball_cells_xy(map_obs, min_xy, player_xy):
     return req, n_req, cell[..., 6]                            # each (4,19)
 
 
-def pack_ball_plane(map_obs):
-    """Per-cell (req, n_req, is_end) of one env's 48x48 map packed into a
-    flat i32 plane with a trailing sentinel row: plane[2304] = (req=5,
-    nr=0, end=0), the read for out-of-grid ball targets. Layout:
-    req | nr << 3 | end << 6. Single-env; vmap for batches.
+# ---- cell-type encoding ----------------------------------------------
+# The obs raster only ever contains hexes from the fixed piece library
+# (src/map.cpp:113-152 terrain prototypes): 18 distinct (requirement,
+# n_required, is_end) triples, plus the empty/sentinel cell (5, 0, 0).
+# 5-bit type ids (sentinel = id 0, so zero padding reads as sentinel) let
+# a player's whole 19-cell ball ride in three i32 words — the step's map
+# read shrinks to 4 gathered words/env (XLA dependent-gather costs
+# ~9-14 ns/element on TPU, so gathered volume is the rollout's wall).
+_CELL_TRIPLES = [(5, 0, 0)] + sorted(
+    {tuple(int(x) for x in h[:3])
+     for h in T.PIECE_HEX[T.PIECE_HEX_VALID.astype(bool)]} - {(5, 0, 0)})
+N_CELL_TYPES = len(_CELL_TRIPLES)
+assert N_CELL_TYPES <= 32, _CELL_TRIPLES
+# decode LUTs bit-packed into scalar ints: variable-shift extraction is
+# kernel-safe (Mosaic), a (19,)-table gather is not
+_REQ_L0 = sum(_CELL_TRIPLES[i][0] << (3 * i) for i in range(10))
+_REQ_L1 = sum(_CELL_TRIPLES[i][0] << (3 * (i - 10))
+              for i in range(10, N_CELL_TYPES))
+_NR_L0 = sum(_CELL_TRIPLES[i][1] << (3 * i) for i in range(10))
+_NR_L1 = sum(_CELL_TRIPLES[i][1] << (3 * (i - 10))
+             for i in range(10, N_CELL_TYPES))
+_END_L = sum(_CELL_TRIPLES[i][2] << i for i in range(N_CELL_TYPES))
 
-    Precomputing this once per reset moves _cells' channel math
-    (src/map.cpp:389-405 rasterisation semantics) out of the per-step
-    pregather: the rollout's map read becomes ONE gather of packed bytes.
-    """
-    cell = map_obs.reshape(GRIDSIZE * GRIDSIZE, 7).astype(_i32)
-    reqch = cell[:, 1:6]
-    present = reqch > 0
-    req = jnp.where(jnp.any(present, axis=-1),
-                    jnp.argmax(present, axis=-1), 5)
-    nr = jnp.max(jnp.where(present, reqch, 0), axis=-1)
-    packed = req | (nr << 3) | (cell[:, 6] << 6)
-    return jnp.concatenate([packed, jnp.asarray([5], _i32)])
+
+def cell_type_ids(req, nr, end):
+    """(req, n_req, is_end) -> 5-bit cell-type id, elementwise. A
+    compare-select chain, NOT a LUT gather: XLA TPU gathers cost
+    ~13 ns/element, which turned the (n, 2304)-cell table build into a
+    125 ms fixed cost per rollout call (measured)."""
+    key = (req << 4) | (nr << 1) | end
+    out = jnp.zeros_like(key)
+    for i, (r, n, e) in enumerate(_CELL_TRIPLES[1:], start=1):
+        out = jnp.where(key == ((r << 4) | (n << 1) | e), i, out)
+    return out
 
 
-def unpack_ball(packed):
-    """Inverse of pack_ball_plane's encoding: (req, n_req, is_end)."""
-    return packed & 7, (packed >> 3) & 7, (packed >> 6) & 1
+def _decode_cells(ids):
+    """5-bit type ids -> (req, n_req, is_end), any shape. Pure shift/mask
+    arithmetic against bit-packed scalar LUTs — no gather, kernel-safe."""
+    lo = ids < 10
+    s3 = 3 * jnp.where(lo, ids, ids - 10)
+    req = jnp.where(lo, _REQ_L0 >> s3, _REQ_L1 >> s3) & 7
+    nr = jnp.where(lo, _NR_L0 >> s3, _NR_L1 >> s3) & 7
+    return req, nr, (_END_L >> ids) & 1
 
 
-def pack_ball_table(map_obs):
-    """Per-cell ball table of one env: (2304, 5) i32 where row c holds the
-    19 packed ball cells (pack_ball_plane encoding, 4 cells x 7 bits per
-    word, cell k at word k//4 shift 7*(k%4)) of the ball AROUND grid cell
-    c — i.e. _ball_cells precomputed for every possible player cell.
+def pack_ball_words(pids, qids, qend0):
+    """Pack one step's map read into 4 i32 words: p's 19 ball-cell ids at
+    bits [5k, 5k+5) of the little-endian 96-bit w0..w2 field (cells 6 and
+    12 straddle word boundaries), q's six 1-hop ids (``qids`` indices
+    1..6 — the unit directions lead the _BALL order) at w3 bits
+    [5(i-1), 5i), and q's own is_end at w3 bit 30."""
+    ws = []
+    for j in range(3):
+        w = jnp.zeros_like(pids[..., 0])
+        for k in range(N_BALL):
+            lo = 5 * k - 32 * j
+            if -4 <= lo <= 31:
+                idk = pids[..., k]
+                w = w | (idk << lo if lo >= 0 else idk >> -lo)
+        ws.append(w)
+    w3 = qend0 << 30
+    for i in range(6):
+        w3 = w3 | (qids[..., 1 + i] << (5 * i))
+    return ws[0], ws[1], ws[2], w3
 
-    Every _BALL offset is even in both doubled coordinates (two chained
-    hex directions), and every hex in a connected map shares both
-    coordinate parities, so in grid space (idx = (xy-min)//2 + 1,
+
+def _ball_p_ids(w0, w1, w2):
+    """Unpack the current player's 19 ball-cell ids from the packed
+    96-bit field: static shifts/masks only (kernel-safe)."""
+    ws = (w0, w1, w2)
+    cells = []
+    for k in range(N_BALL):
+        j, sh = divmod(5 * k, 32)
+        c = (ws[j] >> sh) & 31
+        if sh > 27:   # cell straddles into the next word
+            c = (c & ((1 << (32 - sh)) - 1)) \
+                | ((ws[j + 1] << (32 - sh)) & 31)
+        cells.append(c)
+    return jnp.stack(cells, axis=-1)                           # (19,)
+
+
+def _ball_q_row(w3):
+    """Next-agent pseudo ball row from the packed q word: real values at
+    the six 1-hop indices (all the rotated mask rebuild reads,
+    kidx = _PAIR[0][1:] = 1..6) plus q's own is_end at index 0 (the
+    rotated done check's only read, k0 = _PAIR[0][0] = 0); sentinel
+    elsewhere."""
+    qids = jnp.stack([(w3 >> (5 * i)) & 31 for i in range(6)], axis=-1)
+    req6, nr6, end6 = _decode_cells(qids)
+    end0 = jnp.reshape((w3 >> 30) & 1, (1,))
+    req = jnp.concatenate([jnp.full((1,), 5, _i32), req6,
+                           jnp.full((12,), 5, _i32)])
+    nr = jnp.concatenate([jnp.zeros((1,), _i32), nr6,
+                          jnp.zeros((12,), _i32)])
+    end = jnp.concatenate([end0, end6, jnp.zeros((12,), _i32)])
+    return req, nr, end
+
+
+def ball_words(s: EnvState):
+    """The step's ENTIRE map read, packed into 4 i32 words (see
+    pack_ball_words): the current agent p's 19-cell 2-hop ball plus the
+    next agent q = (p+1) % n_players's 6 one-hop cells and own end flag.
+    Only those two rows of the (4, 19) pregather are ever consumed by
+    the step (_step_from_view), so rollout drivers gather 4 words/env
+    instead of 76 cells. Single-env; vmap for batches."""
+    req, nr, end = _ball_cells(s)                              # (4, 19)
+    ids = cell_type_ids(req, nr, end)
+    p = s.agent
+    q = jnp.where(p + 1 >= s.n_players, 0, p + 1)
+    oh_p = _oh(p, _IOTA4[:, None])
+    oh_q = _oh(q, _IOTA4[:, None])
+    pids = jnp.max(jnp.where(oh_p, ids, 0), axis=0)            # (19,)
+    qids = jnp.max(jnp.where(oh_q, ids, 0), axis=0)
+    qend0 = jnp.max(jnp.where(oh_q[:, 0], end[:, 0], 0))
+    return pack_ball_words(pids, qids, qend0)
+
+
+def pack_ball_word_table(map_obs):
+    """(48,48,7) map obs -> four flat (2304,) i32 word planes: for every
+    grid cell c, exactly ball_words' payload for a player standing at c —
+    w0..w2 the 19-cell ball ids, w3 the six 1-hop ids + own is_end (w3 is
+    gathered at the NEXT agent's cell; its per-cell layout is
+    position-independent).
+
+    Stencil construction: every _BALL offset is even in both doubled
+    coordinates and every hex in a connected map shares both coordinate
+    parities, so in grid space (idx = (xy-min)//2 + 1, the
     src/map.cpp:389-405 rasterisation) the ball is a FIXED 19-point
-    stencil with offsets _BALL//2: the table is 19 padded static shifts
-    of the packed plane — no gathers. Off-grid targets read the packed
-    sentinel 5 (req=5, nr=0, end=0), which equals the never-rasterised
-    border rows' packed value, so the table matches _ball_cells exactly
-    for every in-grid centre. Single-env; vmap for batches."""
-    plane = pack_ball_plane(map_obs)[:-1].reshape(GRIDSIZE, GRIDSIZE)
-    pad = jnp.pad(plane, 2, constant_values=5)
-    cells = [pad[2 + dx:2 + dx + GRIDSIZE, 2 + dy:2 + dy + GRIDSIZE]
-             for dx, dy in np.asarray(_BALL) // 2]
-    cells.append(jnp.zeros((GRIDSIZE, GRIDSIZE), _i32))   # pad k=19
-    words = [cells[4 * j] | (cells[4 * j + 1] << 7)
-             | (cells[4 * j + 2] << 14) | (cells[4 * j + 3] << 21)
-             for j in range(5)]
-    return jnp.stack(words, -1).reshape(GRIDSIZE * GRIDSIZE, 5)
+    stencil with offsets _BALL//2 — 19 padded static shifts of the id
+    plane, no gathers. Off-grid targets read the zero padding = sentinel
+    id 0 = (5,0,0), which equals the never-rasterised border rows'
+    value, so the table matches _ball_cells for every in-grid centre.
 
+    The words accumulate plane-by-plane (never a (..., 19) or (..., 4)
+    stacked array): small trailing dims pad to 128-lane tiles on TPU —
+    a stacked (n, 2304, 4) table cost 18 GB of HLO temps at 4096 envs.
+    Single-env; vmap for batches."""
+    cell = map_obs.astype(_i32)                                # (48,48,7)
+    reqch = cell[..., 1:6]
+    present = reqch > 0
+    req = jnp.where(jnp.any(present, -1), jnp.argmax(present, -1), 5)
+    nr = jnp.max(jnp.where(present, reqch, 0), -1)
+    end = cell[..., 6]
+    ids = cell_type_ids(req, nr, end)                          # (48,48)
+    pad = jnp.pad(ids, 2)                                      # 0 = sentinel
+    off = np.asarray(_BALL) // 2
 
-def pack_ball_rows(req, nr, end):
-    """(..., 19) ball cell triples -> (..., 5) packed i32 row words
-    (pack_ball_table layout): cell k at word k//4, bit offset 7*(k%4)."""
-    cells = req | (nr << 3) | (end << 6)
-    cells = jnp.concatenate(
-        [cells, jnp.zeros(cells.shape[:-1] + (1,), _i32)], -1)
-    c = cells.reshape(cells.shape[:-1] + (5, 4))
-    return (c[..., 0] | (c[..., 1] << 7) | (c[..., 2] << 14)
-            | (c[..., 3] << 21))
+    def plane(k):
+        dx, dy = off[k]
+        return pad[2 + dx:2 + dx + GRIDSIZE, 2 + dy:2 + dy + GRIDSIZE]
 
-
-def ball_flat_idx(min_xy, player_xy):
-    """Flat plane indices (+sentinel default) of every player's 19-cell
-    2-hop ball: (4,19) i32 in [0, 2304]. Pure elementwise math — callers
-    can evaluate it in any batch layout."""
-    tgt = player_xy[:, None, :] + _BALL[None, :, :]            # (4,19,2)
-    d = tgt - min_xy
-    idx = jnp.where(d >= 0, (d >> 1) + 1, jnp.where(d == -1, 1, 0))
-    ix, iy = idx[..., 0], idx[..., 1]
-    in_grid = ((ix >= 0) & (ix < GRIDSIZE) & (iy >= 0) & (iy < GRIDSIZE))
-    return jnp.where(in_grid, ix * GRIDSIZE + iy, GRIDSIZE * GRIDSIZE)
-
-
-def _ball_row(ball, p):
-    """Player p's ball row from packed (4, 5) row words (pack_ball_rows
-    layout): (req, n_req, is_end), each (19,). The 5 words are selected
-    BEFORE unpacking, so every tensor stays rank<=2 — rank>=4
-    intermediates trip XLA/Mosaic slow paths (measured ~1000x on TPU)."""
-    sel_p = _oh(p, _IOTA4[:, None])
-    words = jnp.max(jnp.where(sel_p, ball, 0), axis=0)          # (5,)
-    cells = jnp.concatenate(
-        [(words[k // 4:k // 4 + 1] >> (7 * (k % 4))) & 127
-         for k in range(N_BALL)])                               # (19,)
-    return cells & 7, (cells >> 3) & 7, (cells >> 6) & 1
+    ws = []
+    for j in range(3):
+        w = jnp.zeros((GRIDSIZE, GRIDSIZE), _i32)
+        for k in range(N_BALL):
+            lo = 5 * k - 32 * j
+            if -4 <= lo <= 31:
+                pk = plane(k)
+                w = w | (pk << lo if lo >= 0 else pk >> -lo)
+        ws.append(w.reshape(-1))
+    w3 = end << 30
+    for i in range(6):
+        w3 = w3 | (plane(1 + i) << (5 * i))
+    return ws[0], ws[1], ws[2], w3.reshape(-1)
 
 
 def _ball_at_p(ball_p, k):
@@ -985,7 +1065,7 @@ def step_env(s: EnvState, action) -> EnvState:
     """cog_env::step (src/environment.cpp:91-224). ``action``: i32[5]
     (play, play_special, remove, move, get_from_shop); dead steps (done
     envs) are no-ops."""
-    return step_core(s, action, pack_ball_rows(*_ball_cells(s)))
+    return step_core(s, action, ball_words(s))
 
 
 def _step_pre(s: EnvState, p) -> EnvState:
@@ -1004,9 +1084,10 @@ def _step_pre(s: EnvState, p) -> EnvState:
 
 def step_core(s: EnvState, action, ball) -> EnvState:
     """The map-free step body: all map reads come from the pregathered
-    2-hop ``ball`` — (4, 5) i32 packed row words (pack_ball_rows over
-    _ball_cells). Shared verbatim by the XLA path (step_env) and the
-    Pallas mega-kernel (ops/step_kernel.py).
+    ``ball`` — the 4 packed i32 words of ball_words (current agent's
+    2-hop ball + next agent's 1-hop cells as 5-bit cell-type ids).
+    Shared verbatim by the XLA path (step_env) and the Pallas
+    mega-kernel (ops/step_kernel.py).
 
     Structure: project the current player ONCE (PView), run the whole
     dispatch (src/environment.cpp:91-224) on the projected values, embed
@@ -1036,7 +1117,8 @@ def _step_from_view(s0: EnvState, s: EnvState, v: "PView", p, action,
     action = jnp.asarray(action, _i32)
     a_play, a_sp, a_rm, a_mv, a_shop = (action[i] for i in range(5))
     one8 = jnp.asarray(1, _u8)
-    ball_p = _ball_row(ball, p)
+    w0, w1, w2, w3 = ball
+    ball_p = _decode_cells(_ball_p_ids(w0, w1, w2))
 
     b_play = a_play > 0
     b_special = (a_play == 0) & (a_sp > 0)
@@ -1204,7 +1286,7 @@ def _step_from_view(s0: EnvState, s: EnvState, v: "PView", p, action,
     storage_r = jnp.where(rot_other, row_q, storage_r)
     n_active_r = jnp.where(rot_other, _get1(s.n_active, q, _IOTA4),
                            v.n_active)
-    ball_q = _ball_row(ball, q)
+    ball_q = _ball_q_row(w3)
     ball_r = jax.tree_util.tree_map(
         lambda a, b: jnp.where(rotate, b, a), ball_p, ball_q)
     # position delta for the current agent within this step: only a

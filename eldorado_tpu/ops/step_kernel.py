@@ -12,9 +12,10 @@ Design:
   values it loads — Mosaic lowers exactly the one-hot/elementwise/matmul ops
   the engine is already written in (the engine deliberately avoids
   scatter/gather/cumsum; see engine.py docstring).
-* Map reads are the per-player 19-cell 2-hop "ball" (engine._ball_cells),
-  gathered by XLA before the kernel from the current positions. The kernel
-  never sees the 48x48x7 map.
+* Map reads are engine.ball_words' 4 packed i32 words (the current
+  agent's 19-cell 2-hop ball + the next agent's 1-hop cells, 5-bit
+  cell-type ids), gathered by XLA before the kernel from the current
+  positions. The kernel never sees the 48x48x7 map.
 * All dynamic state leaves are reshaped to (N, F) 2-D buffers and blocked
   over the env axis; the only step-static env inputs are n_players /
   max_steps. Every table/iota constant the traced logic closes over is
@@ -68,13 +69,13 @@ def _step_values(feat, mask_src, *flat):
     n_dyn = len(feat)
     dyn = list(flat[:n_dyn])
     srng = flat[n_dyn]
-    # ball cells arrive as five separate (4,) i32 packed word tensors per
-    # env (engine.pack_ball_table row layout, 4 cells x 7 bits per word):
-    # the rollout's 5 flat gathers feed the kernel directly — no XLA-side
-    # stack, and the (4, 5) assembly happens on VMEM values
-    ball = jnp.stack(flat[n_dyn + 1:n_dyn + 6], axis=-1)
-    n_players = flat[n_dyn + 6]
-    max_steps = flat[n_dyn + 7]
+    # the map read arrives as engine.ball_words' 4 packed i32 words per
+    # env (current agent's 19-cell ball + next agent's 1-hop cells as
+    # 5-bit type ids): the rollout's two flat gathers feed the kernel
+    # directly, and the engine decodes with static shifts/masks
+    ball = tuple(flat[n_dyn + 1:n_dyn + 5])
+    n_players = flat[n_dyn + 5]
+    max_steps = flat[n_dyn + 6]
 
     b = srng.shape[0]
     static = (jnp.zeros((b, 1, 1, 7), jnp.uint8),   # map_obs (never read)
@@ -330,8 +331,8 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
     _, dyn = E.split_state(states)
     ex = [jnp.zeros((block,) + x.shape[1:], x.dtype) for x in dyn]
     ex.append(jnp.zeros((block,), jnp.int32))
-    for _ in range(5):
-        ex.append(jnp.zeros((block, 4), _i32))  # packed ball row words
+    for _ in range(4):
+        ex.append(jnp.zeros((block,), _i32))    # packed ball words
     ex.append(jnp.zeros((block,), _i32))
     ex.append(jnp.zeros((block,), _i32))
     body = functools.partial(_step_values, feat, mask_src)
@@ -366,8 +367,7 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
     n_in = len(ex)
 
     in_meta = ([(len(f) == 0, d == jnp.bool_) for _, f, d in feat]
-               + [(True, False)] + [(False, False)] * 5
-               + [(True, False), (True, False)])
+               + [(True, False)] * 7)
 
     def kernel(*refs):
         ins = refs[:n_in]
@@ -444,10 +444,10 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
         result is (nb, f..., block) with bools as i32. This is the layout
         the kernel wants; keeping the rollout carry in it avoids the
         per-leaf XLA transposes that otherwise dominate the step (measured
-        ~8x the kernel's own cost). ``bball`` is a 5-tuple of packed
-        per-player ball row words (engine.pack_ball_table layout), each
-        (nb, 4, block) — separate inputs so the rollout's flat gathers
-        feed the kernel without an XLA-side stack."""
+        ~8x the kernel's own cost). ``bball`` is a 4-tuple of packed ball
+        words (engine.ball_words layout), each (nb, 1, block) — separate
+        inputs so the rollout's flat gathers feed the kernel without an
+        XLA-side stack."""
         ins = list(bdyn) + [bsrng] + list(bball) + [bnp, bms]
         outs = pl.pallas_call(
             kernel,
@@ -465,12 +465,11 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
         return tuple(outs[:n_dyn]), outs[n_dyn], outs[n_dyn + 1]
 
     def fused(states, srngs):
-        req, nr, end = jax.vmap(E._ball_cells)(states)  # XLA map gather
+        words = jax.vmap(E.ball_words)(states)          # XLA map gather
         _, dyn = E.split_state(states)
         ins = [t_in(x.astype(_i32) if x.dtype == jnp.bool_ else x)
                for x in dyn]
-        rows = E.pack_ball_rows(req, nr, end)           # (n, 4, 5)
-        bball = tuple(t_in(rows[:, :, j]) for j in range(5))
+        bball = tuple(t_in(w) for w in words)
         new_bdyn, bsrng, bact = fused_blocked(
             tuple(ins), t_in(srngs), bball,
             t_in(states.n_players), t_in(states.max_steps))

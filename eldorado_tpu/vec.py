@@ -154,7 +154,7 @@ def rollout(states, sampler_rngs, n_steps: int, mask_src: str = "storage",
     """
     def sample_and_step(s, rngs):
         # one player projection shared by sampler + step (fused_sample_step)
-        ball = E.pack_ball_rows(*jax.vmap(E._ball_cells)(s))
+        ball = jax.vmap(E.ball_words)(s)
         return jax.vmap(
             lambda a, b, c: E.fused_sample_step(a, b, c, mask_src))(
                 s, rngs, ball)
@@ -238,7 +238,7 @@ class _KernelPrograms:
 
     * ``block_in(states, rngs) -> (bctx, bdyn, brngs)`` — block the
       dynamic state and precompute the per-cell packed ball tables
-      (engine.pack_ball_table) + blocked step-static inputs.
+      (engine.pack_ball_word_table) + blocked step-static inputs.
     * ``run(bctx, bdyn, brngs, n_steps, want_traj)`` — the scan. Returns
       ``(bdyn, brngs, any_done, traj)``; ``any_done`` is a device scalar
       for cheap host polling; ``traj`` is blocked per-step
@@ -263,44 +263,51 @@ class _KernelPrograms:
         @jax.jit
         def block_in(states, rngs):
             _, dyn = _split_state(states)
-            tab = jax.vmap(E.pack_ball_table)(states.map_obs)
-            bctx = (tuple(tab[:, :, j].reshape(-1) for j in range(5)),
+            tabs = jax.vmap(E.pack_ball_word_table)(states.map_obs)
+            bparams = jnp.stack(
+                [states.n_players, states.n_pieces, states.difficulty,
+                 states.max_steps], axis=-1)           # (n, 4) reset params
+            bctx = (tabs,          # 4 x (n, 2304); _scan flattens (free)
                     t_in(states.min_xy), t_in(states.n_players),
-                    t_in(states.max_steps))
+                    t_in(states.max_steps), bparams)
             bdyn = tuple(
                 t_in(x.astype(jnp.int32) if x.dtype == jnp.bool_ else x)
                 for x in dyn)
             return bctx, bdyn, t_in(rngs)
 
-        @functools.partial(jax.jit, static_argnums=(3, 4),
-                           donate_argnums=(1, 2))
-        def run(bctx, bdyn, brngs, n_steps, want_traj):
-            # The per-step map read is five flat gathers of packed
-            # per-cell ball rows (engine.pack_ball_table) at the players'
-            # grid cells, indexed in blocked layout — zero per-step layout
-            # transposes, and every index tensor stays rank-3
-            # (nb, 4, block): XLA TPU gathers and elementwise ops degrade
-            # ~1000x on rank>=4 index/operand shapes (measured: one
-            # (nb,4,19,block)-indexed gather 2.5ms vs 19 small 3us).
-            tabs, bmin, bnp, bms = bctx
-            ebase = t_in(jnp.arange(n, dtype=jnp.int32) * GRID2)
+        def _scan(bctx, bdyn, brngs, n_steps, want_traj):
+            # The per-step map read is TWO flat gathers totalling 4 words
+            # per env (engine.ball_words via pack_ball_word_table): the
+            # agent's packed 19-cell ball (3 words) and the next agent's
+            # 1-hop word. XLA dependent-gathers cost ~9-14 ns/element on
+            # TPU regardless of op shape, so gathered volume is the
+            # rollout's wall; indices stay rank-3 (rank>=4 index shapes
+            # degrade another ~100x, measured).
+            tabs, bmin, bnp, bms, _ = bctx
+            tabs = tuple(t.reshape(-1) for t in tabs)
+            ebase = t_in(jnp.arange(n, dtype=jnp.int32) * GRID2)[:, 0]
 
             def body(carry, _):
                 bdyn, brngs = carry
-                # players' own grid cells (always in-grid hexes, so the
-                # plain (d>>1)+1 rasterisation index applies): bxy
-                # (nb, 4, 2, block) -> flat cell idx (nb, 4, block)
-                d = bdyn[i_xy] - bmin[:, None]
-                cx = (d[:, :, 0, :] >> 1) + 1
-                cy = (d[:, :, 1, :] >> 1) + 1
-                # inactive players sit at xy=(0,0) (engine reset), whose
-                # cell can fall outside the grid; their rows are never
-                # consumed by the step, so clamping is value-irrelevant
-                flat = jnp.clip(cx * E.GRIDSIZE + cy, 0, GRID2 - 1)
-                gidx = flat + ebase
-                brows = tuple(t.at[gidx].get(mode="promise_in_bounds")
-                              for t in tabs)           # 5 x (nb, 4, block)
-                bdyn, brngs, bact = fused.blocked(bdyn, brngs, brows,
+                bxy = bdyn[i_xy]                       # (nb, 4, 2, block)
+                a = bdyn[i_agent]                      # (nb, 1, block)
+                q = a + 1
+                q = jnp.where(q >= bnp, 0, q)
+
+                def cell_of(idx):
+                    # idx (nb,1,block) player id -> flat grid cell of that
+                    # player (always an in-grid hex: agents are active)
+                    xy = sum(jnp.where(idx == j, bxy[:, j], 0)
+                             for j in range(4))        # (nb, 2, block)
+                    c = ((xy - bmin) >> 1) + 1
+                    return (jnp.clip(c[:, 0] * E.GRIDSIZE + c[:, 1],
+                                     0, GRID2 - 1) + ebase)[:, None, :]
+
+                cp, cq = cell_of(a), cell_of(q)        # (nb, 1, block)
+                bball = tuple(
+                    tabs[j].at[cp if j < 3 else cq].get(
+                        mode="promise_in_bounds") for j in range(4))
+                bdyn, brngs, bact = fused.blocked(bdyn, brngs, bball,
                                                   bnp, bms)
                 out = ((bact, bdyn[i_done], bdyn[i_rew], bdyn[i_agent])
                        if want_traj else None)
@@ -308,6 +315,13 @@ class _KernelPrograms:
 
             (bdyn, brngs), traj = jax.lax.scan(
                 body, (bdyn, brngs), None, length=n_steps)
+            return bdyn, brngs, traj
+
+        @functools.partial(jax.jit, static_argnums=(3, 4),
+                           donate_argnums=(1, 2))
+        def run(bctx, bdyn, brngs, n_steps, want_traj):
+            bdyn, brngs, traj = _scan(bctx, bdyn, brngs, n_steps,
+                                      want_traj)
             any_done = jnp.max(bdyn[i_done]) > 0
             return bdyn, brngs, any_done, traj
 
@@ -331,10 +345,165 @@ class _KernelPrograms:
                     jax.vmap(lambda x: t_out(x, (4,)))(brew),
                     jax.vmap(lambda x: t_out(x, ()))(bagent))
 
+        # ---- async host-reset programs -------------------------------
+        # Resetting finished envs costs ~230 ms on-TPU per event at 4096
+        # envs (full env-major round-trip + on-device procgen's deep
+        # while_loops), and per-leaf host transfers over the device
+        # tunnel cost ~20 ms each. The async pipeline therefore keeps the
+        # host sync-free: run_q compacts up to Q newly-done envs ON
+        # DEVICE into one packed i32 "reset queue" buffer (their frozen
+        # carry columns + reset params), the host chains
+        # device_put -> CPU procgen -> device_put -> apply_q without
+        # blocking, and episode/procgen-failure accounting rides in a
+        # device-side counter vector read once at rollout end. An
+        # in-flight mask keeps a queued env from being re-queued at the
+        # next boundary (it stays `done`, dead-stepping, until applied).
+        import numpy as np
+        feat_sizes = [max(1, int(np.prod(f))) for _, f, _ in feat]
+        MAPW = E.GRIDSIZE * E.GRIDSIZE * 7 // 4
+        i32 = jnp.int32
+        Q = min(128, n)
+        iota_q = jnp.arange(Q, dtype=i32)
+
+        def qstate_init():
+            return (jnp.zeros((n // block, 1, block), i32),   # in-flight
+                    jnp.zeros((4,), i32))   # episodes, fail, overflow, -
+
+        def _col_idx(bi, lane, F):
+            return ((bi[:, None] * F + jnp.arange(F)[None, :]) * block
+                    + lane[:, None])
+
+        @functools.partial(jax.jit, static_argnums=(4,),
+                           donate_argnums=(1, 2, 3))
+        def run_q(bctx, bdyn, brngs, qstate, n_steps):
+            """Scan + device-side reset-queue build: returns (bdyn, brngs,
+            qstate', any_new, resetq) where resetq packs
+            [count, idxs(Q), params(Q,4), frozen dyn columns] as i32."""
+            bdyn, brngs, _ = _scan(bctx, bdyn, brngs, n_steps, False)
+            inflight, counters = qstate
+            newly = (bdyn[i_done] != 0) & (inflight == 0)
+            nf = newly.reshape(n)            # env id = b*block + lane
+            key = jnp.where(nf, jnp.arange(n, dtype=i32), n)
+            idxs = jax.lax.sort(key)[:Q]
+            valid = idxs < n
+            count = jnp.sum(valid.astype(i32))
+            safe = jnp.where(valid, idxs, jnp.minimum(idxs[0], n - 1))
+            bi, lane = safe // block, safe % block
+            parts = [count[None], safe, bctx[4][safe].reshape(-1)]
+            for x, F in zip(bdyn, feat_sizes):
+                g = x.reshape(-1)[_col_idx(bi, lane, F)]
+                if g.dtype == jnp.float32:
+                    g = jax.lax.bitcast_convert_type(g, i32)
+                parts.append(g.reshape(-1))
+            resetq = jnp.concatenate(parts)
+            # mark ONLY the <=Q selected envs in-flight (scatter-max: the
+            # count==0 dummy slot must not clear anything); finishers
+            # beyond the queue stay done & un-flagged and are re-selected
+            # at the next boundary
+            inflight = inflight.reshape(-1).at[
+                _col_idx(bi, lane, 1)].max(
+                    valid.astype(i32)[:, None]).reshape(inflight.shape)
+            counters = counters + jnp.where(jnp.arange(4) == 0, count, 0)
+            return (bdyn, brngs, (inflight, counters), count > 0, resetq)
+
+        def _reset_q(rq):
+            """Procgen for one reset queue -> one result buffer
+            [idxs(Q), ok, overflow, min_xy(Q,2), map words (Q,MAPW),
+            dyn words] (padding slots are duplicate resets of the same
+            frozen env state — identical values, idempotent scatter)."""
+            off = 1
+            idxs = rq[off:off + Q]
+            off += Q
+            params = rq[off:off + 4 * Q].reshape(Q, 4)
+            off += 4 * Q
+            dyn = []
+            for F, (_, fshape, fdtype) in zip(feat_sizes, feat):
+                seg = rq[off:off + Q * F]
+                off += Q * F
+                if fdtype == jnp.float32:
+                    seg = jax.lax.bitcast_convert_type(seg, jnp.float32)
+                seg = seg.reshape((Q,) + fshape)
+                if fdtype == jnp.bool_:
+                    seg = seg != 0
+                dyn.append(seg)
+            static = (jnp.zeros((Q,) + states.map_obs.shape[1:],
+                                jnp.uint8),
+                      jnp.zeros((Q, 2), i32),
+                      jnp.ones((Q,), bool), jnp.zeros((Q,), bool),
+                      params[:, 0], params[:, 1], params[:, 2],
+                      params[:, 3])
+            s = jax.vmap(E.reset_env)(E.merge_state(static, tuple(dyn)))
+            _, dyn2 = E.split_state(s)
+            parts = [idxs,
+                     jnp.all(s.map_ok).astype(i32)[None],
+                     jnp.any(s.map_overflow).astype(i32)[None],
+                     s.min_xy.reshape(-1),
+                     jax.lax.bitcast_convert_type(
+                         s.map_obs.reshape(Q, MAPW, 4), i32).reshape(-1)]
+            for x in dyn2:
+                if x.dtype == jnp.bool_:
+                    x = x.astype(i32)
+                elif x.dtype == jnp.float32:
+                    x = jax.lax.bitcast_convert_type(x, i32)
+                parts.append(x.reshape(-1))
+            return jnp.concatenate(parts)
+
+        # NOTE: ``states`` is caller-visible — never donated (the
+        # env-major row updates copy ~70 MB, ~90 us at HBM bandwidth)
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 3))
+        def apply_q(bdyn, bctx, states, qstate, buf):
+            """Scatter one uplink buffer into the blocked carry, the ball
+            tables, the in-flight mask, and the env-major static state."""
+            tabs, bmin, bnp, bms, bparams = bctx
+            inflight, counters = qstate
+            idxs = buf[:Q]
+            ok, over = buf[Q], buf[Q + 1]
+            off = Q + 2
+            minxy = buf[off:off + 2 * Q].reshape(Q, 2)
+            off += 2 * Q
+            map_rows = jax.lax.bitcast_convert_type(
+                buf[off:off + Q * MAPW].reshape(Q, MAPW), jnp.uint8
+            ).reshape((Q,) + states.map_obs.shape[1:])
+            off += Q * MAPW
+            bi, lane = idxs // block, idxs % block
+            new_bdyn = []
+            for x, F in zip(bdyn, feat_sizes):
+                seg = buf[off:off + Q * F].reshape(Q, F)
+                off += Q * F
+                if x.dtype == jnp.float32:
+                    seg = jax.lax.bitcast_convert_type(seg, jnp.float32)
+                flat = x.reshape(-1).at[_col_idx(bi, lane, F)].set(
+                    seg.astype(x.dtype))
+                new_bdyn.append(flat.reshape(x.shape))
+            trows = jax.vmap(E.pack_ball_word_table)(map_rows)
+            tabs = tuple(t.at[idxs].set(tr.reshape(Q, -1))
+                         for t, tr in zip(tabs, trows))
+            bmin = bmin.reshape(-1).at[_col_idx(bi, lane, 2)].set(
+                minxy).reshape(bmin.shape)
+            inflight = inflight.reshape(-1).at[
+                _col_idx(bi, lane, 1)].set(0).reshape(inflight.shape)
+            counters = jnp.stack(
+                [counters[0], counters[1] | (1 - ok),
+                 counters[2] | over, counters[3]])
+            states = states._replace(
+                map_obs=states.map_obs.at[idxs].set(map_rows),
+                min_xy=states.min_xy.at[idxs].set(minxy),
+                map_ok=states.map_ok.at[idxs].set(ok != 0),
+                map_overflow=states.map_overflow.at[idxs].set(over != 0))
+            return (tuple(new_bdyn), (tabs, bmin, bnp, bms, bparams),
+                    states, (inflight, counters))
+
+        self.block = block
         self.block_in = block_in
         self.run = run
         self.unblock = unblock
         self.unblock_traj = unblock_traj
+        self.qstate_init = qstate_init
+        self.run_q = run_q
+        self.reset_q_dev = jax.jit(_reset_q)
+        self.reset_q_cpu = jax.jit(_reset_q, backend="cpu")
+        self.apply_q = apply_q
+        self.feat = feat
 
 
 def _kernel_programs(states, mask_src: str = "storage", block: int = 256,
@@ -365,7 +534,8 @@ def kernel_rollout(states, sampler_rngs, n_steps: int,
 
 def rollout_chunked(states, sampler_rngs, n_steps: int, chunk: int = 100,
                     mask_src: str = "storage", backend: str = "xla",
-                    block: int = 256, interpret: bool = False):
+                    block: int = 256, interpret: bool = False,
+                    reset_mode: str = "sync"):
     """High-throughput driver: dispatch `chunk`-step scans and auto-reset
     finished envs between dispatches. The host-side `any(done)` check makes
     the reset program free on chunks where no episode ended; otherwise only
@@ -377,23 +547,27 @@ def rollout_chunked(states, sampler_rngs, n_steps: int, chunk: int = 100,
     kernel is bit-exact vs the XLA path, tests/test_step_kernel.py). The
     kernel path keeps the state blocked across chunks: the env-major
     round-trip (~25 ms of layout transposes at 4096 envs) is paid only on
-    chunks where an episode actually finished."""
+    chunks where an episode actually finished.
+
+    reset_mode (kernel backend only):
+      * "sync" (default): done envs are regenerated ON DEVICE at the
+        chunk boundary where the episode ended, via a compacted reset
+        queue of up to 128 envs per boundary (same observable behaviour
+        as the xla path; extra finishers dead-step to the next
+        boundary). No layout round-trip, no host transfers.
+      * "async": the reset queue is shipped to the HOST CPU backend and
+        its procgen overlaps the next chunk's TPU scan; results are
+        scattered in at the following boundary (done envs dead-step one
+        extra chunk; their frozen state makes the deferred reset
+        value-identical). Wins when host<->device transfers are cheap
+        (PCIe); over a network-tunnelled device the transfers dominate
+        and "sync" is faster."""
     import numpy as np
     episodes = 0
     n_chunks = max(1, n_steps // chunk)
     if backend == "kernel":
-        progs = _kernel_programs(states, mask_src, block, interpret)
-        bctx, bdyn, brngs = progs.block_in(states, sampler_rngs)
-        for _ in range(n_chunks):
-            bdyn, brngs, any_done, _ = progs.run(bctx, bdyn, brngs,
-                                                 chunk, False)
-            if bool(any_done):
-                states, sampler_rngs = progs.unblock(states, bdyn, brngs)
-                states, n = reset_done_bucketed(states)
-                episodes += n
-                bctx, bdyn, brngs = progs.block_in(states, sampler_rngs)
-        states, sampler_rngs = progs.unblock(states, bdyn, brngs)
-        return states, sampler_rngs, episodes
+        return _rollout_chunked_q(states, sampler_rngs, n_chunks, chunk,
+                                  mask_src, block, interpret, reset_mode)
     for _ in range(n_chunks):
         states, sampler_rngs, _ = rollout(states, sampler_rngs, chunk,
                                           mask_src, "none")
@@ -401,6 +575,63 @@ def rollout_chunked(states, sampler_rngs, n_steps: int, chunk: int = 100,
         if done.any():
             states, n = reset_done_bucketed(states, done)
             episodes += n
+    return states, sampler_rngs, episodes
+
+
+def _rollout_chunked_q(states, sampler_rngs, n_chunks, chunk,
+                       mask_src, block, interpret, reset_mode):
+    """rollout_chunked's kernel backend with compacted reset queues: see
+    rollout_chunked. The host blocks on exactly ONE scalar per chunk
+    (`any_new`); episode / procgen-failure accounting rides in
+    device-side counters read once at the end.
+
+    reset_mode="sync": run_q -> reset_q_dev -> apply_q all on device at
+    the same boundary. reset_mode="async": the queue round-trips through
+    the host CPU backend, overlapped with the next chunk's scan, and is
+    applied one boundary later."""
+    import numpy as np
+    from .errors import GenerateMapFailure, MapCapacityError
+    progs = _kernel_programs(states, mask_src, block, interpret)
+    deferred = reset_mode == "async"
+    if deferred:
+        cpu = jax.devices("cpu")[0]
+        tpu = states.rng.devices().pop()
+    bctx, bdyn, brngs = progs.block_in(states, sampler_rngs)
+    qstate = progs.qstate_init()
+    pending = None
+
+    for _ in range(n_chunks):
+        bdyn, brngs, qstate, any_new, resetq = progs.run_q(
+            bctx, bdyn, brngs, qstate, chunk)
+        if pending is not None:
+            bdyn, bctx, states, qstate = progs.apply_q(
+                bdyn, bctx, states, qstate, pending)
+            pending = None
+        if bool(any_new):
+            if deferred:
+                buf = progs.reset_q_cpu(jax.device_put(resetq, cpu))
+                pending = jax.device_put(buf, tpu)
+            else:
+                bdyn, bctx, states, qstate = progs.apply_q(
+                    bdyn, bctx, states, qstate,
+                    progs.reset_q_dev(resetq))
+    if pending is not None:
+        bdyn, bctx, states, qstate = progs.apply_q(
+            bdyn, bctx, states, qstate, pending)
+    counters = np.asarray(qstate[1])
+    episodes = int(counters[0])
+    states, sampler_rngs = progs.unblock(states, bdyn, brngs)
+    if counters[2]:
+        raise MapCapacityError(
+            "queued reset: map generation overflowed a fixed capacity")
+    if counters[1]:
+        raise GenerateMapFailure(
+            "queued reset: map generation failed > MAX_FAILURES times")
+    # envs that finished in the last chunk (or beyond the Q-slot queue)
+    # get the synchronous sweep, preserving the auto-reset contract
+    if np.asarray(states.done).any():
+        states, k = reset_done_bucketed(states)
+        episodes += k
     return states, sampler_rngs, episodes
 
 

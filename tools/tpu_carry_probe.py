@@ -65,6 +65,7 @@ def main():
     t_in = fused.t_in
     GRID2 = E.GRIDSIZE * E.GRIDSIZE
     i_xy = E.DYN_FIELDS.index("player_xy")
+    i_agent = E.DYN_FIELDS.index("agent")
     i_done = E.DYN_FIELDS.index("done")
     i_rew = E.DYN_FIELDS.index("rewards")
     i_agent = E.DYN_FIELDS.index("agent")
@@ -73,8 +74,8 @@ def main():
         @jax.jit
         def run(states, rngs):
             _, dyn0 = E.split_state(states)
-            tab = jax.vmap(E.pack_ball_table)(states.map_obs)
-            tabs = [tab[:, :, j].reshape(-1) for j in range(5)]
+            tabs = [t.reshape(-1) for t in
+                    jax.vmap(E.pack_ball_word_table)(states.map_obs)]
             bdyn0 = tuple(
                 t_in(x.astype(jnp.int32) if x.dtype == jnp.bool_ else x)
                 for x in dyn0)
@@ -82,21 +83,28 @@ def main():
             bms = t_in(states.max_steps)
             bmin = t_in(states.min_xy)
             ebase = t_in(jnp.arange(n, dtype=jnp.int32) * GRID2)
-            req, nr, end = jax.vmap(E._ball_cells)(states)
-            rows0 = E.pack_ball_rows(req, nr, end)
-            const_rows = tuple(t_in(rows0[:, :, j]) for j in range(5))
+            words0 = jax.vmap(E.ball_words)(states)
+            const_rows = tuple(t_in(w) for w in words0)
 
             def body(carry, _):
                 bdyn, brngs = carry
                 if gather:
-                    d = bdyn[i_xy] - bmin[:, None]
-                    cx = (d[:, :, 0, :] >> 1) + 1
-                    cy = (d[:, :, 1, :] >> 1) + 1
-                    flat = jnp.clip(cx * E.GRIDSIZE + cy, 0, GRID2 - 1)
-                    gidx = flat + ebase
+                    bxy = bdyn[i_xy]
+                    a = bdyn[i_agent]
+                    q = jnp.where(a + 1 >= bnp, 0, a + 1)
+
+                    def cell_of(idx):
+                        xy = sum(jnp.where(idx == j, bxy[:, j], 0)
+                                 for j in range(4))
+                        c = ((xy - bmin) >> 1) + 1
+                        return (jnp.clip(c[:, 0] * E.GRIDSIZE + c[:, 1],
+                                         0, GRID2 - 1)
+                                + ebase[:, 0])[:, None, :]
+
+                    cp, cq = cell_of(a), cell_of(q)
                     brows = tuple(
-                        tt.at[gidx].get(mode="promise_in_bounds")
-                        for tt in tabs)
+                        tabs[j].at[cp if j < 3 else cq].get(
+                            mode="promise_in_bounds") for j in range(4))
                 else:
                     brows = const_rows
                 bdyn, brngs, bact = fused.blocked(bdyn, brngs, brows,
