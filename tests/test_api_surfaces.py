@@ -51,6 +51,31 @@ def test_rollout_chunked_accounting():
     vec.check_map_generation(s1)
 
 
+def test_kernel_chunked_reset_modes_match_xla():
+    """The kernel backend's on-device queued resets ('sync') must be
+    bit-identical to the xla chunked path INCLUDING mid-run auto-resets;
+    'async' (deferred host-CPU procgen) must stay a valid, episode-
+    counting rollout (its resets land one boundary later by design)."""
+    from eldorado_tpu.core import engine as E
+    states = vec.vec_reset(5, 8, 4, 1, 0, 30)
+    rngs = vec.sampler_init(11, 8)
+    sx, rx, ex = vec.rollout_chunked(states, rngs, 200, 50, backend="xla")
+    sk, rk, ek = vec.rollout_chunked(states, rngs, 200, 50,
+                                     backend="kernel", block=8,
+                                     interpret=True, reset_mode="sync")
+    assert ex == ek and ex > 0
+    for name in E.EnvState._fields:
+        assert np.array_equal(np.asarray(getattr(sk, name)),
+                              np.asarray(getattr(sx, name))), name
+    assert np.array_equal(np.asarray(rk), np.asarray(rx))
+
+    sa, ra, ea = vec.rollout_chunked(states, rngs, 200, 50,
+                                     backend="kernel", block=8,
+                                     interpret=True, reset_mode="async")
+    assert ea > 0
+    vec.check_map_generation(sa)
+
+
 # ------------------------------------------------------------ compat single
 def _drive_pair(n_steps=60):
     env = cog.cog_env(seed=77, n_players=3, n_pieces=2,
