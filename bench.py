@@ -19,6 +19,12 @@ Prints ONE JSON line:
 vs_baseline is against BASELINE.json's target of 10M env-steps/s/chip at
 4096 lockstep envs (the reference repo publishes no absolute numbers).
 ``--sweep`` / ``--all-modes`` print extra per-config lines to stderr first.
+
+Reset semantics: finished envs regenerate at chunk boundaries (the
+reference auto-resets within step_single; a finished env here dead-steps
+to its boundary first). ``--chunk 1 --chunks N`` gives exact same-step
+auto-reset parity mode; the default chunk trades reset latency for
+throughput and reports the episode count so the workload is auditable.
 """
 import argparse
 import json

@@ -363,7 +363,6 @@ class _KernelPrograms:
         MAPW = E.GRIDSIZE * E.GRIDSIZE * 7 // 4
         i32 = jnp.int32
         Q = min(128, n)
-        iota_q = jnp.arange(Q, dtype=i32)
 
         def qstate_init():
             return (jnp.zeros((n // block, 1, block), i32),   # in-flight

@@ -51,6 +51,18 @@ def test_rollout_chunked_accounting():
     vec.check_map_generation(s1)
 
 
+@pytest.mark.slow
+def test_mode_sweep_fuzz_10k():
+    """Reference-scale fuzz (pytest/test_vec_env.py:161-171: 10k masked-
+    random steps x 16 envs): no crashes, valid maps throughout, episodes
+    keep completing and resetting."""
+    states = vec.vec_reset(3, 16, 4, 3, 1, 100000)
+    rngs = vec.sampler_init(7, 16)
+    s, r, eps = vec.rollout_chunked(states, rngs, 10_000, 500)
+    vec.check_map_generation(s)
+    assert eps > 0
+
+
 def test_kernel_chunked_reset_modes_match_xla():
     """The kernel backend's on-device queued resets ('sync') must be
     bit-identical to the xla chunked path INCLUDING mid-run auto-resets;
