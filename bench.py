@@ -42,15 +42,14 @@ BASELINE_STEPS_PER_SEC = 10_000_000.0
 
 
 def _prewarm_resets(states, n_envs):
-    """Compile the bucketed-reset programs that fire mid-run."""
+    """Compile the bucketed-reset program the kernel path's final sweep
+    uses (128 finishers per 1500-step chunk at 4096 envs) so a ~15 s
+    compile never lands inside the timed region."""
     import jax.numpy as jnp
-    from eldorado_tpu.vec import _RESET_BUCKETS, _reset_bucket
-    warm = None
-    for b in _RESET_BUCKETS[:3]:
-        if b <= n_envs:
-            warm = _reset_bucket(states, jnp.zeros(b, jnp.int32), b)
-    if warm is not None:
-        jax.block_until_ready(warm.rng)
+    from eldorado_tpu.vec import _reset_bucket
+    b = min(128, n_envs)
+    warm = _reset_bucket(states, jnp.zeros(b, jnp.int32), b)
+    jax.block_until_ready(warm.rng)
 
 
 def run_config(envs, chunk, chunks, players, pieces, difficulty, backend,

@@ -201,11 +201,16 @@ def _try_add_random(s: MapGenState, pid):
     # footprint buffer at (21,37,2) instead of (P,21,37,2) — peak reset
     # memory at 4096 vmapped envs drops ~16x (the full form OOM-faulted the
     # chip during large-batch resets)
+    occ_flat = s.occ.reshape(-1)
+
     def slot_overlap(e, over):
         fp = _rotv(base[None], rots[e, :, 0:1]) + coords[e, :, None, :]
         gx = jnp.clip(fp[..., 0] + OFF, 0, OCC - 1)
         gy = jnp.clip(fp[..., 1] + OFF, 0, OCC - 1)
-        hit = (s.occ[gx, gy] > 0) & bvalid[None, :]
+        # single flat index keeps the (vmapped) gather on the fast
+        # rank<=2-index path; two index dims lower ~2x slower on TPU
+        cell = occ_flat[(gx * OCC + gy).reshape(-1)].reshape(21, 37)
+        hit = (cell > 0) & bvalid[None, :]
         return over.at[e].set(jnp.any(hit, axis=-1))
 
     # dynamic bound: slots >= n_entries are dead (their `live` mask is

@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--parity-envs", type=int, default=256)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--timing-steps", type=int, default=1000)
-    ap.add_argument("--block", type=int, default=256)
+    ap.add_argument("--block", type=int, default=512)
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--skip-timing", action="store_true")
     args = ap.parse_args()
