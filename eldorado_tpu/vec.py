@@ -267,7 +267,10 @@ class _KernelPrograms:
             bparams = jnp.stack(
                 [states.n_players, states.n_pieces, states.difficulty,
                  states.max_steps], axis=-1)           # (n, 4) reset params
-            bctx = (tabs,          # 4 x (n, 2304); _scan flattens (free)
+            # the four word planes ride CONCATENATED (n, 4*2304) so the
+            # scan body issues ONE gather per step (word w of cell c =
+            # column w*2304 + c); per-gather-op overhead is ~20-40 us
+            bctx = (jnp.concatenate(tabs, axis=1),
                     t_in(states.min_xy), t_in(states.n_players),
                     t_in(states.max_steps), bparams)
             bdyn = tuple(
@@ -283,9 +286,10 @@ class _KernelPrograms:
             # TPU regardless of op shape, so gathered volume is the
             # rollout's wall; indices stay rank-3 (rank>=4 index shapes
             # degrade another ~100x, measured).
-            tabs, bmin, bnp, bms, _ = bctx
-            tabs = tuple(t.reshape(-1) for t in tabs)
-            ebase = t_in(jnp.arange(n, dtype=jnp.int32) * GRID2)[:, 0]
+            tab, bmin, bnp, bms, _ = bctx
+            tab = tab.reshape(-1)                      # (n * 4 * GRID2,)
+            ebase = t_in(jnp.arange(n, dtype=jnp.int32)
+                         * (4 * GRID2))[:, 0]
 
             def body(carry, _):
                 bdyn, brngs = carry
@@ -304,9 +308,11 @@ class _KernelPrograms:
                                      0, GRID2 - 1) + ebase)[:, None, :]
 
                 cp, cq = cell_of(a), cell_of(q)        # (nb, 1, block)
-                bball = tuple(
-                    tabs[j].at[cp if j < 3 else cq].get(
-                        mode="promise_in_bounds") for j in range(4))
+                gidx = jnp.concatenate(
+                    [cp, cp + GRID2, cp + 2 * GRID2, cq + 3 * GRID2],
+                    axis=1)                            # (nb, 4, block)
+                g = tab.at[gidx].get(mode="promise_in_bounds")
+                bball = (g[:, 0:1], g[:, 1:2], g[:, 2:3], g[:, 3:4])
                 bdyn, brngs, bact = fused.blocked(bdyn, brngs, bball,
                                                   bnp, bms)
                 out = ((bact, bdyn[i_done], bdyn[i_rew], bdyn[i_agent])
@@ -451,9 +457,9 @@ class _KernelPrograms:
         # env-major row updates copy ~70 MB, ~90 us at HBM bandwidth)
         @functools.partial(jax.jit, donate_argnums=(0, 1, 3))
         def apply_q(bdyn, bctx, states, qstate, buf):
-            """Scatter one uplink buffer into the blocked carry, the ball
-            tables, the in-flight mask, and the env-major static state."""
-            tabs, bmin, bnp, bms, bparams = bctx
+            """Scatter one result buffer into the blocked carry, the ball
+            table, the in-flight mask, and the env-major static state."""
+            tab, bmin, bnp, bms, bparams = bctx
             inflight, counters = qstate
             idxs = buf[:Q]
             ok, over = buf[Q], buf[Q + 1]
@@ -475,8 +481,7 @@ class _KernelPrograms:
                     seg.astype(x.dtype))
                 new_bdyn.append(flat.reshape(x.shape))
             trows = jax.vmap(E.pack_ball_word_table)(map_rows)
-            tabs = tuple(t.at[idxs].set(tr.reshape(Q, -1))
-                         for t, tr in zip(tabs, trows))
+            tab = tab.at[idxs].set(jnp.concatenate(trows, axis=1))
             bmin = bmin.reshape(-1).at[_col_idx(bi, lane, 2)].set(
                 minxy).reshape(bmin.shape)
             inflight = inflight.reshape(-1).at[
@@ -489,7 +494,7 @@ class _KernelPrograms:
                 min_xy=states.min_xy.at[idxs].set(minxy),
                 map_ok=states.map_ok.at[idxs].set(ok != 0),
                 map_overflow=states.map_overflow.at[idxs].set(over != 0))
-            return (tuple(new_bdyn), (tabs, bmin, bnp, bms, bparams),
+            return (tuple(new_bdyn), (tab, bmin, bnp, bms, bparams),
                     states, (inflight, counters))
 
         self.block = block

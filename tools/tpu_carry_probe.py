@@ -74,15 +74,16 @@ def main():
         @jax.jit
         def run(states, rngs):
             _, dyn0 = E.split_state(states)
-            tabs = [t.reshape(-1) for t in
-                    jax.vmap(E.pack_ball_word_table)(states.map_obs)]
+            tab = jnp.concatenate(
+                jax.vmap(E.pack_ball_word_table)(states.map_obs),
+                axis=1).reshape(-1)
             bdyn0 = tuple(
                 t_in(x.astype(jnp.int32) if x.dtype == jnp.bool_ else x)
                 for x in dyn0)
             bnp = t_in(states.n_players)
             bms = t_in(states.max_steps)
             bmin = t_in(states.min_xy)
-            ebase = t_in(jnp.arange(n, dtype=jnp.int32) * GRID2)
+            ebase = t_in(jnp.arange(n, dtype=jnp.int32) * (4 * GRID2))
             words0 = jax.vmap(E.ball_words)(states)
             const_rows = tuple(t_in(w) for w in words0)
 
@@ -102,9 +103,11 @@ def main():
                                 + ebase[:, 0])[:, None, :]
 
                     cp, cq = cell_of(a), cell_of(q)
-                    brows = tuple(
-                        tabs[j].at[cp if j < 3 else cq].get(
-                            mode="promise_in_bounds") for j in range(4))
+                    gidx = jnp.concatenate(
+                        [cp, cp + GRID2, cp + 2 * GRID2,
+                         cq + 3 * GRID2], axis=1)
+                    g = tab.at[gidx].get(mode="promise_in_bounds")
+                    brows = (g[:, 0:1], g[:, 1:2], g[:, 2:3], g[:, 3:4])
                 else:
                     brows = const_rows
                 bdyn, brngs, bact = fused.blocked(bdyn, brngs, brows,
