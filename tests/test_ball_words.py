@@ -25,7 +25,7 @@ def test_ball_word_table_matches_ball_words():
     """Gathering the table at the agents' cells == ball_words, for every
     player role, across seeds/piece-counts (the stencil-equivalence
     argument in pack_ball_word_table's docstring, verified)."""
-    for seed, pieces, diff in [(9, 3, 1), (3, 1, 0), (21, 5, 2)]:
+    for seed, pieces, diff in [(9, 3, 1), (21, 5, 2)]:
         s = vec.vec_reset(seed, 8, 4, pieces, diff, 100000)
         tabs = [np.asarray(t) for t in
                 jax.vmap(E.pack_ball_word_table)(s.map_obs)]

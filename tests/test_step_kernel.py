@@ -20,7 +20,11 @@ def xla_step(s, r, mask_src="storage"):
     return s._replace(rng_tainted=s.rng_tainted | t), r, a
 
 
-@pytest.mark.parametrize("mask_src", ["storage", "sel"])
+# the sel-mask source shares all kernel plumbing with storage; its
+# interpret-mode replay costs ~30 s, so it rides the -m slow lane
+@pytest.mark.parametrize(
+    "mask_src",
+    ["storage", pytest.param("sel", marks=pytest.mark.slow)])
 def test_kernel_matches_xla(mask_src):
     n = 8
     states = vec_reset(3, n, 4, 1, 0, 100000)
