@@ -81,6 +81,26 @@ def _select(pred, a, b):
     return jax.tree_util.tree_map(pick, a, b)
 
 
+def _merge(base, *branches):
+    """Flat N-way branch merge over ``(pred, tree)`` pairs with mutually
+    exclusive predicates: a leaf untouched by a branch (same tracer as
+    ``base``) costs nothing; a leaf touched by k branches costs k selects
+    (see engine._merge)."""
+    leaves_b, treedef = jax.tree_util.tree_flatten(base)
+    leaves_v = [jax.tree_util.tree_flatten(v)[0] for _, v in branches]
+    out = []
+    for i, lb in enumerate(leaves_b):
+        val = lb
+        for (pred, _), lv in zip(branches, (l[i] for l in leaves_v)):
+            if lv is lb:
+                continue
+            p = pred if lv.ndim == 0 else jnp.reshape(pred,
+                                                      (1,) * lv.ndim)
+            val = jnp.where(p, lv, val)
+        out.append(val)
+    return treedef.unflatten(out)
+
+
 def _rotv(v, times):
     """Rotate doubled coords by times*60 deg. v: (..., 2); times broadcasts
     against v's batch dims."""
@@ -172,11 +192,13 @@ def _add_piece(s: MapGenState, pid, coord, rot) -> MapGenState:
         overflow=overflow)
 
 
-def _try_add_random(s: MapGenState, pid):
+def _try_add_random(s: MapGenState, pid, active):
     """reference: src/map.cpp:277-307. Returns (state, success). Candidate
     enumeration order is placed-piece-major then connection-entry, matching
     the reference; the overlap test uses each candidate's first rotation
-    option only."""
+    option only. ``active`` gates the internal rng draws (a caller whose
+    branch is not taken this trip must consume nothing — the vmapped
+    state machine evaluates every branch and keeps one)."""
     nsize = _PIECE_SIZE[pid]
     epid = jnp.where(s.entries >= 0, s.entries, 0)
     psize = _PIECE_SIZE[epid]                  # (P,)
@@ -223,7 +245,7 @@ def _try_add_random(s: MapGenState, pid):
 
     flat_ok = ok.reshape(-1)
     n_valid = jnp.sum(flat_ok, dtype=_i32)
-    have = n_valid > 0
+    have = (n_valid > 0) & active
     pos, s = _uid_maybe(s, n_valid, have)
     csum = jnp.cumsum(flat_ok) - flat_ok       # exclusive prefix counts
     pick = jnp.argmax(flat_ok & (csum == pos)).astype(_i32)
@@ -291,49 +313,59 @@ def generate_map(rng_state, n_pieces, difficulty) -> MapGenOut:
     n_pieces = jnp.asarray(n_pieces, _i32)
     difficulty = jnp.asarray(difficulty, _i32)
 
-    def on_entry(s: MapGenState) -> MapGenState:
-        start, s = _uid(s, 2)
-        s = _add_piece(s, T.START_PIECE_0 + start, jnp.zeros(2, _i32),
-                       jnp.int32(0))
-        return s._replace(
-            frame_valid=s.frame_valid.at[s.sp].set(_DIFF_MASK[difficulty]),
-            frame_i=s.frame_i.at[s.sp].set(0),
-            pc=jnp.int32(_LOOP))
+    def body(s: MapGenState) -> MapGenState:
+        # One FLAT trip of the reference's recursive generator. A vmapped
+        # lax.switch evaluates every branch and selects, so the original
+        # 4-branch form paid TWO _try_add_random candidate scans (travel
+        # piece + end piece) per trip; here the branches share ONE gated
+        # attempt — the rng draws are gated per branch (_uid_maybe with
+        # mutually-exclusive conditions), so each branch's stream
+        # consumption is bit-identical to the switch form.
+        is_entry = s.pc == _ENTRY
+        is_loop = s.pc == _LOOP
+        is_end = s.pc == _END
+        is_pop = s.pc == _POP
 
-    def on_loop(s: MapGenState) -> MapGenState:
         i = s.frame_i[s.sp]
         at_end = i >= n_pieces
+        loop_act = is_loop & ~at_end
 
-        def loop_body(s: MapGenState) -> MapGenState:
-            valid = s.frame_valid[s.sp]
-            bits = (valid >> jnp.arange(16)) & 1          # (16,)
-            nv = jnp.sum(bits, dtype=_i32)
-            have = nv > 0
-            pos, s = _uid_maybe(s, nv, have)
-            csum = jnp.cumsum(bits) - bits
-            idx = jnp.argmax((bits == 1) & (csum == pos)).astype(_i32)
-            tried, placed = _try_add_random(s, T.TRAVEL_PIECE_0 + idx)
-            s2 = _select(have, tried, s)
-            success = placed & have
-            ok_path = s2._replace(
-                frame_valid=s2.frame_valid.at[s2.sp].set(
-                    valid & ~(jnp.int32(1) << idx)),
-                frame_i=s2.frame_i.at[s2.sp].set(i + 1))
-            fail_path = _push_child(s2, jnp.int32(_RES_LOOP_INC))
-            return _select(success, ok_path, fail_path)
+        # --- gated draws, in each branch's stream order ----------------
+        start, s = _uid_maybe(s, 2, is_entry)             # on_entry
+        valid = s.frame_valid[s.sp]
+        bits = (valid >> jnp.arange(16)) & 1              # (16,)
+        nv = jnp.sum(bits, dtype=_i32)
+        have_piece = nv > 0
+        pos, s = _uid_maybe(s, nv, loop_act & have_piece)  # on_loop pick
+        csum = jnp.cumsum(bits) - bits
+        idx = jnp.argmax((bits == 1) & (csum == pos)).astype(_i32)
+        e, s = _uid_maybe(s, 2, is_end)                   # on_end pick
 
-        return jax.lax.cond(at_end,
-                            lambda s: s._replace(pc=jnp.int32(_END)),
-                            loop_body, s)
+        # --- on_entry: place the start piece ---------------------------
+        entered = _add_piece(s, T.START_PIECE_0 + start, jnp.zeros(2, _i32),
+                             jnp.int32(0))
+        entered = entered._replace(
+            frame_valid=entered.frame_valid.at[entered.sp].set(
+                _DIFF_MASK[difficulty]),
+            frame_i=entered.frame_i.at[entered.sp].set(0),
+            pc=jnp.int32(_LOOP))
 
-    def on_end(s: MapGenState) -> MapGenState:
-        e, s = _uid(s, 2)
-        s2, success = _try_add_random(s, T.END_PIECE_0 + e)
-        ok_path = s2._replace(pc=jnp.int32(_POP))
-        fail_path = _push_child(_map_clear(s2), jnp.int32(_RES_POP))
-        return _select(success, ok_path, fail_path)
+        # --- the shared placement attempt (travel OR end piece) --------
+        pid = jnp.where(is_end, T.END_PIECE_0 + e, T.TRAVEL_PIECE_0 + idx)
+        attempt_act = (loop_act & have_piece) | is_end
+        s2, success = _try_add_random(s, pid, attempt_act)
 
-    def on_pop(s: MapGenState) -> MapGenState:
+        # on_loop outcomes (src/map.cpp:714-731)
+        loop_ok = s2._replace(
+            frame_valid=s2.frame_valid.at[s2.sp].set(
+                valid & ~(jnp.int32(1) << idx)),
+            frame_i=s2.frame_i.at[s2.sp].set(i + 1))
+        loop_fail = _push_child(s2, jnp.int32(_RES_LOOP_INC))
+        # on_end outcomes (src/map.cpp:733-742)
+        end_ok = s2._replace(pc=jnp.int32(_POP))
+        end_fail = _push_child(_map_clear(s2), jnp.int32(_RES_POP))
+
+        # on_pop (frame return / finish)
         at_root = s.sp == 0
         sp1 = jnp.maximum(s.sp - 1, 0)
         resume = s.frame_resume[sp1]
@@ -343,10 +375,17 @@ def generate_map(rng_state, n_pieces, difficulty) -> MapGenOut:
                               s.frame_i.at[sp1].add(1), s.frame_i),
             pc=jnp.where(resume == _RES_LOOP_INC, jnp.int32(_LOOP),
                          jnp.int32(_POP)))
-        return _select(at_root, s._replace(finished=jnp.bool_(True)), popped)
 
-    def body(s: MapGenState) -> MapGenState:
-        return jax.lax.switch(s.pc, [on_entry, on_loop, on_end, on_pop], s)
+        return _merge(
+            s,
+            (is_entry, entered),
+            (loop_act & success, loop_ok),
+            (loop_act & ~success, loop_fail),
+            (is_loop & at_end, s._replace(pc=jnp.int32(_END))),
+            (is_end & success, end_ok),
+            (is_end & ~success, end_fail),
+            (is_pop & at_root, s._replace(finished=jnp.bool_(True))),
+            (is_pop & ~at_root, popped))
 
     def cond(s: MapGenState):
         return ~(s.finished | s.aborted)
