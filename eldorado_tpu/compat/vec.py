@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..constants import Difficulty, MAX_N_PLAYERS
+from ..core import engine as E
 
 
 def _flat_masks_to_struct(flat):
@@ -80,7 +81,7 @@ class VecEnvCompat:
                 np.asarray(s.map_obs), np.asarray(s.phase),
                 np.asarray(s.resources), np.asarray(s.shop_stock),
                 np.asarray(s.piles),
-                np.asarray(s.storage_masks).astype(np.uint8))
+                np.asarray(E.unpack_mask(s.storage_masks)).astype(np.uint8))
             return packed.reshape(-1).view(obs_dtype)
         out = np.zeros(n, obs_dtype)
         out["shared"]["map"] = np.asarray(s.map_obs)
@@ -88,7 +89,7 @@ class VecEnvCompat:
         out["shared"]["current_resources"] = np.asarray(s.resources)
         out["shared"]["shop"] = np.asarray(s.shop_stock)
         piles = np.asarray(s.piles)
-        storage = np.asarray(s.storage_masks)
+        storage = np.asarray(E.unpack_mask(s.storage_masks))
         for p in range(MAX_N_PLAYERS):
             pd = out["player_data"][:, p]
             for i, name in enumerate(("draw", "hand", "active", "played",

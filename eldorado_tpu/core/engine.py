@@ -161,6 +161,13 @@ def _brow(arr2d, p):
                              jnp.zeros((), _i32)), axis=0) > 0
 
 
+def _wrow(arr2d, p):
+    """Row p of a (4, k) i32 array, sign-safe (packed mask words carry
+    set bits in the sign position): sum over the one-hot, the three dead
+    rows contribute 0."""
+    return jnp.sum(jnp.where(_oh(p, _IOTA4[:, None]), arr2d, 0), axis=0)
+
+
 def _u8row(arr, p):
     """Row p of a (4, ...) u8 array via an i32 reduction."""
     oh = _oh(p, _IOTA4.reshape((MAX_N_PLAYERS,) + (1,) * (arr.ndim - 1)))
@@ -242,7 +249,7 @@ class EnvState(NamedTuple):
     done: jnp.ndarray           # bool
     # masks
     sel_mask: jnp.ndarray       # (92,) bool
-    storage_masks: jnp.ndarray  # (4,92) bool
+    storage_masks: jnp.ndarray  # (4,3) i32 packed rows (pack_mask)
     # outputs (persist across resets)
     rewards: jnp.ndarray        # (4,) f32
     info_total: jnp.ndarray     # i32
@@ -322,6 +329,31 @@ def init_mask():
     return _mask_reset(jnp.zeros(MASK_LEN, bool))
 
 
+# ---- packed mask words -------------------------------------------------
+# storage_masks live in the state as 3 i32 words per player (92 bits,
+# 4 spare): the step only ever selects/saves whole rows, and one-hot
+# row select/scatter on (4, 92) bools cost ~2k vregs/step in the fused
+# kernel vs ~150 for (4, 3) words + one unpack of the agent's row.
+_POW32 = np.arange(32, dtype=np.int32)
+MASK_WORDS = (MASK_LEN + 31) // 32
+
+
+def pack_mask(bits):
+    """(..., 92) bool -> (..., 3) i32 little-endian bit words."""
+    x = bits.astype(_i32)
+    pad = jnp.zeros(x.shape[:-1] + (32 * MASK_WORDS - MASK_LEN,), _i32)
+    x = jnp.concatenate([x, pad], -1)
+    x = x.reshape(x.shape[:-1] + (MASK_WORDS, 32))
+    return jnp.sum(x << _POW32, axis=-1)
+
+
+def unpack_mask(words):
+    """(..., 3) i32 -> (..., 92) bool."""
+    u = (words[..., None] >> _POW32) & 1
+    u = u.reshape(words.shape[:-1] + (32 * MASK_WORDS,))
+    return u[..., :MASK_LEN] != 0
+
+
 def make_state(seed=0, n_players=4, n_pieces=3, difficulty=0,
                max_steps=100000) -> EnvState:
     """Freshly-constructed env + zeroed external buffers (probe layout:
@@ -351,7 +383,7 @@ def make_state(seed=0, n_players=4, n_pieces=3, difficulty=0,
         resources=jnp.zeros(3, _f32),
         turn_counter=jnp.asarray(0, _i32), done=jnp.bool_(False),
         sel_mask=init_mask(),
-        storage_masks=jnp.tile(init_mask()[None], (4, 1)),
+        storage_masks=jnp.tile(pack_mask(init_mask())[None], (4, 1)),
         rewards=jnp.zeros(4, _f32),
         info_total=jnp.asarray(0, _i32), info_steps=z4u8,
         info_returns=jnp.zeros(4, _f32), info_travelled=jnp.zeros(4, _i32),
@@ -432,7 +464,7 @@ def _pview(s: EnvState, p) -> PView:
         played=rows[PILE_PLAYED], discard=rows[PILE_DISCARD],
         n_in_hand=g(s.n_in_hand), n_active=g(s.n_active),
         n_in_draw=g(s.n_in_draw), idx_last=g(s.idx_last),
-        xy=xy, storage=_brow(s.storage_masks, p),
+        xy=xy, storage=unpack_mask(_wrow(s.storage_masks, p)),
         has_won=g(s.has_won), mip=g(s.mip),
         next_card_free=g(s.next_card_free),
         next_move_free=g(s.next_move_free),
@@ -457,7 +489,7 @@ def _pview_embed(s: EnvState, p, v: PView) -> EnvState:
         idx_last=sput(s.idx_last, v.idx_last),
         player_xy=jnp.where(_oh(p, _IOTA4[:, None]), v.xy[None],
                             s.player_xy),
-        storage_masks=_put_row(s.storage_masks, p, v.storage),
+        storage_masks=_put_row(s.storage_masks, p, pack_mask(v.storage)),
         has_won=bput(s.has_won, v.has_won),
         mip=bput(s.mip, v.mip),
         next_card_free=bput(s.next_card_free, v.next_card_free),
@@ -907,9 +939,10 @@ def _update_observation(s: EnvState, agent):
     """Map-reading variant used on the reset path (positions are fresh)."""
     mv = _movement_mask(s, agent, s.resources,
                         _get1(s.n_active, agent, _IOTA4).astype(_i32))
-    m = _obs_mask(_brow(s.storage_masks, agent), s.phase, mv,
-                  _shop_available(s, s.resources[2]))
-    return s._replace(storage_masks=_put_row(s.storage_masks, agent, m))
+    m = _obs_mask(unpack_mask(_wrow(s.storage_masks, agent)), s.phase,
+                  mv, _shop_available(s, s.resources[2]))
+    return s._replace(
+        storage_masks=_put_row(s.storage_masks, agent, pack_mask(m)))
 
 
 # --------------------------------------------------------------------- reset
@@ -939,8 +972,8 @@ def _player_reset(s: EnvState, p):
         n_active=jnp.where(oh_p, z, s.n_active),
         sel_mask=_mask_reset(s.sel_mask))
     s = _deck_draw(s, p, jnp.asarray(HAND_SIZE, _i32))
-    return s._replace(storage_masks=jnp.where(
-        _oh(p, _IOTA4[:, None]), s.sel_mask[None], s.storage_masks))
+    return s._replace(storage_masks=_put_row(
+        s.storage_masks, p, pack_mask(s.sel_mask)))
 
 
 def reset_env(s: EnvState) -> EnvState:
@@ -970,7 +1003,8 @@ def reset_env(s: EnvState) -> EnvState:
     def obody(p, s):
         return _select(p < s.n_players, _update_observation(s, p), s)
     s = jax.lax.fori_loop(0, MAX_N_PLAYERS, obody, s, unroll=True)
-    return s._replace(sel_mask=_brow(s.storage_masks, s.agent))
+    return s._replace(
+        sel_mask=unpack_mask(_wrow(s.storage_masks, s.agent)))
 
 
 def reset_env_full(s: EnvState, seed, n_players, n_pieces, difficulty,
@@ -1274,7 +1308,7 @@ def _step_from_view(s0: EnvState, s: EnvState, v: "PView", p, action,
     et_v, saved = _end_turn_p(v)
     q = p + 1
     q = jnp.where(q >= s.n_players, 0, q)
-    row_q = _brow(s.storage_masks, q)
+    row_q = unpack_mask(_wrow(s.storage_masks, q))
     sel_next = jnp.where(q == p, saved, row_q)
     v = _select(rotate, et_v._replace(sel=sel_next), v)
 
@@ -1309,7 +1343,8 @@ def _step_from_view(s0: EnvState, s: EnvState, v: "PView", p, action,
     r_idx = jnp.where(rotate, q, p)
     s = _pview_embed(s, p, v._replace(storage=mask_p_final))
     s = s._replace(
-        storage_masks=_put_row(s.storage_masks, r_idx, mask_r_final),
+        storage_masks=_put_row(s.storage_masks, r_idx,
+                               pack_mask(mask_r_final)),
         agent=r_idx,
         turn_counter=s.turn_counter + rotate.astype(_i32))
 

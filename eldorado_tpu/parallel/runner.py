@@ -34,8 +34,8 @@ _trace_count = [0]
 
 def _masks(s, mask_src):
     if mask_src == "storage":
-        return jnp.take_along_axis(
-            s.storage_masks, s.agent[:, None, None], axis=1)[:, 0]
+        return E.unpack_mask(jnp.take_along_axis(
+            s.storage_masks, s.agent[:, None, None], axis=1)[:, 0])
     return s.sel_mask
 
 

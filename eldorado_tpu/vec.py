@@ -121,8 +121,9 @@ _merge_state = E.merge_state
 
 def _active_mask(states, mask_src: str):
     if mask_src == "storage":
-        return jnp.take_along_axis(
-            states.storage_masks, states.agent[:, None, None], axis=1)[:, 0]
+        return E.unpack_mask(jnp.take_along_axis(
+            states.storage_masks, states.agent[:, None, None],
+            axis=1)[:, 0])
     return states.sel_mask
 
 
@@ -675,7 +676,8 @@ class VecEnv:
         return {
             "map": s.map_obs, "phase": s.phase,
             "current_resources": s.resources, "shop": s.shop_stock,
-            "piles": s.piles, "action_masks": s.storage_masks,
+            "piles": s.piles,
+            "action_masks": E.unpack_mask(s.storage_masks),
         }
 
     @property

@@ -56,7 +56,10 @@ def test_mode_sweep_fuzz_10k():
     """Reference-scale fuzz (pytest/test_vec_env.py:161-171: 10k masked-
     random steps x 16 envs): no crashes, valid maps throughout, episodes
     keep completing and resetting."""
-    states = vec.vec_reset(3, 16, 4, 3, 1, 100000)
+    # max_steps=500 turns (~2.5-3k env-steps/episode) so the 10k-step run
+    # exercises many auto-resets; an untruncated game at 16 envs would
+    # rarely finish inside the run (mean episode ~45k env-steps)
+    states = vec.vec_reset(3, 16, 4, 3, 1, 500)
     rngs = vec.sampler_init(7, 16)
     s, r, eps = vec.rollout_chunked(states, rngs, 10_000, 500)
     vec.check_map_generation(s)
