@@ -5,6 +5,7 @@ replays) compute — any divergence silently corrupts kernel trajectories.
 Also round-trips the 5-bit cell-type codec against every terrain triple.
 """
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from eldorado_tpu import vec
@@ -19,6 +20,23 @@ def test_cell_type_codec_roundtrip():
     assert (r2 == req).all() and (n2 == nr).all() and (e2 == end).all()
     # sentinel: the empty cell decodes to (5, 0, 0) at id 0
     assert E._CELL_TRIPLES[0] == (5, 0, 0)
+
+
+def test_mask_word_packing_roundtrip():
+    """pack_mask/unpack_mask round-trip on adversarial patterns, and the
+    sign-safe row select: bits 31/63 of a packed row land in i32 sign
+    positions, where a masked-max row select silently corrupts."""
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        bits = rng.random(E.MASK_LEN) < rng.random()
+        back = np.asarray(E.unpack_mask(E.pack_mask(jnp.asarray(bits))))
+        assert (back == bits).all()
+    # all-ones row exercises both sign bits
+    ones = np.ones(E.MASK_LEN, bool)
+    rows = jnp.tile(E.pack_mask(jnp.asarray(ones))[None], (4, 1))
+    for p in range(4):
+        got = np.asarray(E.unpack_mask(E._wrow(rows, jnp.int32(p))))
+        assert got.all(), p
 
 
 def test_ball_word_table_matches_ball_words():
