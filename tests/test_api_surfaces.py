@@ -91,6 +91,51 @@ def test_kernel_chunked_reset_modes_match_xla():
     vec.check_map_generation(sa)
 
 
+def test_async_reset_value_identical():
+    """The deferred (host-CPU) reset of a queued finisher must produce
+    EXACTLY the values the on-device sync reset produces for the same
+    queue — the 'value-identical' claim in vec._rollout_chunked_q: a
+    queued env stays done (frozen carry columns ride in the queue), so
+    where procgen runs and when it lands cannot change its result."""
+    import jax
+    from eldorado_tpu.core import engine as E
+    states = vec.vec_reset(5, 8, 4, 1, 0, 20)
+    rngs = vec.sampler_init(11, 8)
+    progs = vec._kernel_programs(states, "storage", block=8, interpret=True)
+    bctx, bdyn, brngs = progs.block_in(states, rngs)
+    qstate = progs.qstate_init()
+    any_new = False
+    for _ in range(30):
+        bdyn, brngs, qstate, any_new, resetq = progs.run_q(
+            bctx, bdyn, brngs, qstate, 10)
+        if bool(any_new):
+            break
+    assert bool(any_new), "max_steps=20 must finish an episode in 300 steps"
+
+    cpu = jax.devices("cpu")[0]
+    buf_dev = progs.reset_q_dev(resetq)
+    buf_cpu = progs.reset_q_cpu(jax.device_put(resetq, cpu))
+    assert np.array_equal(np.asarray(buf_dev), np.asarray(buf_cpu)), \
+        "host-CPU procgen result differs from the on-device reset"
+
+    # applying either buffer yields the identical full state
+    outs = []
+    for buf in (buf_dev, jax.device_put(buf_cpu, states.rng.devices().pop())):
+        d, c, st, q = progs.apply_q(
+            jax.tree_util.tree_map(lambda x: x + 0, bdyn),
+            jax.tree_util.tree_map(lambda x: x + 0, bctx),
+            states,
+            jax.tree_util.tree_map(lambda x: x + 0, qstate), buf)
+        s_env, _ = progs.unblock(st, d, brngs)
+        outs.append((s_env, c, q))
+    for name in E.EnvState._fields:
+        assert np.array_equal(np.asarray(getattr(outs[0][0], name)),
+                              np.asarray(getattr(outs[1][0], name))), name
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1:]),
+                    jax.tree_util.tree_leaves(outs[1][1:])):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 # ------------------------------------------------------------ compat single
 def _drive_pair(n_steps=60):
     env = cog.cog_env(seed=77, n_players=3, n_pieces=2,
