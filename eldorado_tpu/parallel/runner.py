@@ -115,6 +115,166 @@ def _build_step(mesh: Mesh):
     return jax.jit(run)
 
 
+# ------------------------------------------------------------------ kernel
+# Kernel-backed sharded rollouts: the blocked Pallas step-kernel scan +
+# on-device queued auto-resets (vec._KernelPrograms) run PER SHARD inside
+# shard_map, so the single-chip 10M+ env-steps/s rate carries onto meshes.
+# This is the multi-chip analogue of the reference's per-worker env loop
+# (reference: include/runner.h:36-62 statically partitions envs across
+# threads; here the partition is the mesh and each shard runs the fused
+# kernel over its slice). The host blocks on ONE replicated scalar per
+# chunk (`any_new`, psum'd over the mesh); reset procgen runs only on
+# shards whose local queue is non-empty (a per-device lax.cond — SPMD
+# control flow diverges freely here because the branches contain no
+# collectives).
+
+
+class _ShardedKernelPrograms:
+    """shard_map-wrapped versions of one local-shape _KernelPrograms."""
+
+    def __init__(self, mesh: Mesh, n: int, mask_src: str, block: int,
+                 interpret: bool):
+        from .. import vec as V
+        n_dev = int(mesh.devices.size)
+        assert n % n_dev == 0, (n, n_dev)
+        n_local = n // n_dev
+        block = min(block, n_local)
+        assert n_local % block == 0, (n_local, block)
+        template = jax.vmap(lambda s: E.make_state(s))(
+            jnp.arange(n_local, dtype=jnp.uint32))
+        progs = V._kernel_programs(template, mask_src, block, interpret)
+        self.local = progs
+        self.mesh = mesh
+        self.n = n
+        self.block = block
+        self.n_dev = n_dev
+
+        ax = P(ENV_AXES)
+        shmap = functools.partial(jax.shard_map, mesh=mesh,
+                                  check_vma=False)
+
+        # ---- block_in / unblock -------------------------------------
+        @functools.partial(jax.jit, donate_argnums=())
+        @functools.partial(
+            shmap, in_specs=(ax, ax),
+            out_specs=(ax, ax, ax))
+        def block_in(states, rngs):
+            _trace_count[0] += 1
+            bctx, bdyn, brngs = progs.block_in_raw(states, rngs)
+            return bctx, bdyn, brngs
+
+        @jax.jit
+        @functools.partial(shmap, in_specs=(ax, ax, ax),
+                           out_specs=(ax, ax))
+        def unblock(states, bdyn, brngs):
+            _trace_count[0] += 1
+            return progs.unblock_raw(states, bdyn, brngs)
+
+        # ---- chunk scan + queue build --------------------------------
+        @functools.partial(jax.jit, static_argnums=(4,),
+                           donate_argnums=(1, 2, 3))
+        def run_q(bctx, bdyn, brngs, qstate, n_steps):
+            @functools.partial(
+                shmap, in_specs=(ax, ax, ax, (ax, ax)),
+                out_specs=(ax, ax, (ax, ax), P(), ax))
+            def run(bctx, bdyn, brngs, qstate):
+                _trace_count[0] += 1
+                inflight, counters1 = qstate
+                bdyn, brngs, (inflight, counters), has_new, resetq = \
+                    progs.run_q_raw(bctx, bdyn, brngs,
+                                    (inflight, counters1[0]), n_steps)
+                any_new = jax.lax.psum(
+                    has_new.astype(jnp.int32), ENV_AXES) > 0
+                return (bdyn, brngs, (inflight, counters[None]),
+                        any_new, resetq[None])
+            return run(bctx, bdyn, brngs, qstate)
+
+        # ---- per-shard reset + apply ---------------------------------
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 3))
+        @functools.partial(
+            shmap, in_specs=(ax, ax, ax, (ax, ax), ax),
+            out_specs=(ax, ax, ax, (ax, ax)))
+        def reset_apply(bdyn, bctx, states, qstate, resetq):
+            _trace_count[0] += 1
+            inflight, counters1 = qstate
+            buf = resetq[0]
+            qs = (inflight, counters1[0])
+
+            def fire(args):
+                bdyn, bctx, states, qs = args
+                return progs.apply_q_raw(bdyn, bctx, states, qs,
+                                         progs.reset_q_raw(buf))
+
+            bdyn, bctx, states, qs = jax.lax.cond(
+                buf[0] > 0, fire, lambda a: a, (bdyn, bctx, states, qs))
+            return bdyn, bctx, states, (qs[0], qs[1][None])
+
+        self.block_in = block_in
+        self.unblock = unblock
+        self.run_q = run_q
+        self.reset_apply = reset_apply
+
+    def qstate_init(self):
+        """Global queue state: in-flight mask in the blocked layout,
+        per-shard counter rows (episodes, fail, overflow, -)."""
+        sh = env_sharding(self.mesh)
+        inflight = jax.device_put(
+            jnp.zeros((self.n // self.block, 1, self.block), jnp.int32), sh)
+        counters = jax.device_put(
+            jnp.zeros((self.n_dev, 4), jnp.int32), sh)
+        return (inflight, counters)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_kernel_programs(mesh: Mesh, n: int, mask_src: str, block: int,
+                             interpret: bool) -> _ShardedKernelPrograms:
+    return _ShardedKernelPrograms(mesh, n, mask_src, block, interpret)
+
+
+def sharded_kernel_rollout(mesh: Mesh, states, sampler_rngs, n_steps: int,
+                           chunk: int = 1500, mask_src: str = "storage",
+                           block: int = 512, interpret: bool = False):
+    """vec.rollout_chunked(backend="kernel", reset_mode="sync") over a
+    device mesh: per-shard blocked kernel scans with on-device queued
+    auto-resets at chunk boundaries. Returns (states, sampler_rngs,
+    episodes). Same observable semantics as the single-device kernel
+    path (bit-identical when per-boundary finishers fit the queues —
+    asserted in tests/test_parallel.py)."""
+    import numpy as np
+    from ..errors import GenerateMapFailure, MapCapacityError
+    from ..vec import reset_done_bucketed
+
+    n = int(states.rng.shape[0])
+    progs = _sharded_kernel_programs(mesh, n, mask_src, block, interpret)
+    sh = env_sharding(mesh)
+    states = shard_envs(states, mesh)
+    sampler_rngs = jax.device_put(sampler_rngs, sh)
+
+    bctx, bdyn, brngs = progs.block_in(states, sampler_rngs)
+    qstate = progs.qstate_init()
+    n_chunks = max(1, n_steps // chunk)
+    for _ in range(n_chunks):
+        bdyn, brngs, qstate, any_new, resetq = progs.run_q(
+            bctx, bdyn, brngs, qstate, chunk)
+        if bool(any_new):
+            bdyn, bctx, states, qstate = progs.reset_apply(
+                bdyn, bctx, states, qstate, resetq)
+    counters = np.asarray(qstate[1]).sum(axis=0)
+    states, sampler_rngs = progs.unblock(states, bdyn, brngs)
+    episodes = int(counters[0])
+    if counters[2]:
+        raise MapCapacityError(
+            "sharded queued reset: map generation overflowed a capacity")
+    if counters[1]:
+        raise GenerateMapFailure(
+            "sharded queued reset: map generation failed > MAX_FAILURES")
+    if np.asarray(states.done).any():
+        states, k = reset_done_bucketed(states)
+        episodes += k
+        states = shard_envs(states, mesh)
+    return states, sampler_rngs, episodes
+
+
 def sharded_rollout(mesh: Mesh, states, sampler_rngs, n_steps: int,
                     mask_src: str = "storage"):
     """n_steps of lockstep sample+step+auto-reset over the sharded env batch,
@@ -150,13 +310,31 @@ class ShardedRunner:
 
     def reset(self, seed=0, n_players=4, n_pieces=3, difficulty=0,
               max_steps=100000, sampler_seed=42):
-        self.states = shard_envs(
-            self._vec_reset(seed, self.n_envs, n_players, n_pieces,
-                            difficulty, max_steps), self.mesh)
-        rngs = self._sampler_init(sampler_seed, self.n_envs)
-        self.sampler_rngs = jax.device_put(rngs, env_sharding(self.mesh))
+        if jax.process_count() > 1:
+            # pod path: each host builds only its own rows
+            # (parallel/bootstrap.py), no global materialisation anywhere
+            from .bootstrap import vec_reset_distributed
+            self.states, self.sampler_rngs = vec_reset_distributed(
+                self.mesh, seed, self.n_envs, n_players, n_pieces,
+                difficulty, max_steps, sampler_seed)
+        else:
+            self.states = shard_envs(
+                self._vec_reset(seed, self.n_envs, n_players, n_pieces,
+                                difficulty, max_steps), self.mesh)
+            rngs = self._sampler_init(sampler_seed, self.n_envs)
+            self.sampler_rngs = jax.device_put(rngs,
+                                               env_sharding(self.mesh))
         # null actions until the first sample() — matches the reference's
         # zero-initialised persistent actions array (vec_sampler.h:7-28)
+        self.actions = jax.device_put(
+            jnp.zeros((self.n_envs, 5), jnp.uint8),
+            env_sharding(self.mesh))
+
+    def attach(self, states, sampler_rngs):
+        """Adopt externally-constructed sharded (states, sampler_rngs) —
+        e.g. from bootstrap.vec_reset_distributed on a pod."""
+        self.states = states
+        self.sampler_rngs = sampler_rngs
         self.actions = jax.device_put(
             jnp.zeros((self.n_envs, 5), jnp.uint8),
             env_sharding(self.mesh))
@@ -189,6 +367,17 @@ class ShardedRunner:
             self.mask_src)
         self._pending = self.states
         return stats
+
+    def rollout_chunked(self, n_steps: int, chunk: int = 1500,
+                        block: int = 512, interpret: bool = False):
+        """Kernel-backed high-throughput driver: per-shard Pallas step
+        scans + queued on-device auto-resets (sharded_kernel_rollout).
+        Returns {"episodes", "steps"}."""
+        self.states, self.sampler_rngs, episodes = sharded_kernel_rollout(
+            self.mesh, self.states, self.sampler_rngs, n_steps, chunk,
+            self.mask_src, block, interpret)
+        self._pending = self.states
+        return {"episodes": episodes, "steps": n_steps}
 
     def sync(self):
         if self._pending is not None:

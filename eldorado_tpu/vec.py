@@ -261,8 +261,7 @@ class _KernelPrograms:
         n = int(states.rng.shape[0])
         GRID2 = E.GRIDSIZE * E.GRIDSIZE
 
-        @jax.jit
-        def block_in(states, rngs):
+        def _block_in(states, rngs):
             _, dyn = _split_state(states)
             tabs = jax.vmap(E.pack_ball_word_table)(states.map_obs)
             bparams = jnp.stack(
@@ -278,6 +277,8 @@ class _KernelPrograms:
                 t_in(x.astype(jnp.int32) if x.dtype == jnp.bool_ else x)
                 for x in dyn)
             return bctx, bdyn, t_in(rngs)
+
+        block_in = jax.jit(_block_in)
 
         def _scan(bctx, bdyn, brngs, n_steps, want_traj):
             # The per-step map read is TWO flat gathers totalling 4 words
@@ -332,8 +333,7 @@ class _KernelPrograms:
             any_done = jnp.max(bdyn[i_done]) > 0
             return bdyn, brngs, any_done, traj
 
-        @jax.jit
-        def unblock(states, bdyn, brngs):
+        def _unblock(states, bdyn, brngs):
             static, _ = _split_state(states)
             new_dyn = []
             for o, (_, fshape, fdtype) in zip(bdyn, feat):
@@ -342,6 +342,8 @@ class _KernelPrograms:
                     o = o != 0
                 new_dyn.append(o)
             return _merge_state(static, tuple(new_dyn)), t_out(brngs, ())
+
+        unblock = jax.jit(_unblock)
 
         @jax.jit
         def unblock_traj(traj):
@@ -379,9 +381,7 @@ class _KernelPrograms:
             return ((bi[:, None] * F + jnp.arange(F)[None, :]) * block
                     + lane[:, None])
 
-        @functools.partial(jax.jit, static_argnums=(4,),
-                           donate_argnums=(1, 2, 3))
-        def run_q(bctx, bdyn, brngs, qstate, n_steps):
+        def _run_q(bctx, bdyn, brngs, qstate, n_steps):
             """Scan + device-side reset-queue build: returns (bdyn, brngs,
             qstate', any_new, resetq) where resetq packs
             [count, idxs(Q), params(Q,4), frozen dyn columns] as i32."""
@@ -395,7 +395,13 @@ class _KernelPrograms:
             count = jnp.sum(valid.astype(i32))
             safe = jnp.where(valid, idxs, jnp.minimum(idxs[0], n - 1))
             bi, lane = safe // block, safe % block
-            parts = [count[None], safe, bctx[4][safe].reshape(-1)]
+            # invalid (padding) slots carry idx = n: every downstream
+            # scatter drops them (mode="drop"), so a COMPLETELY empty
+            # queue applies as a no-op — required by the sharded runner,
+            # where a global any_new gate can fire the apply program on
+            # shards whose local queue is empty (parallel/runner.py)
+            parts = [count[None], jnp.where(valid, idxs, n),
+                     bctx[4][safe].reshape(-1)]
             for x, F in zip(bdyn, feat_sizes):
                 g = x.reshape(-1)[_col_idx(bi, lane, F)]
                 if g.dtype == jnp.float32:
@@ -411,6 +417,9 @@ class _KernelPrograms:
                     valid.astype(i32)[:, None]).reshape(inflight.shape)
             counters = counters + jnp.where(jnp.arange(4) == 0, count, 0)
             return (bdyn, brngs, (inflight, counters), count > 0, resetq)
+
+        run_q = functools.partial(jax.jit, static_argnums=(4,),
+                                  donate_argnums=(1, 2, 3))(_run_q)
 
         def _reset_q(rq):
             """Procgen for one reset queue -> one result buffer
@@ -440,9 +449,13 @@ class _KernelPrograms:
                       params[:, 3])
             s = jax.vmap(E.reset_env)(E.merge_state(static, tuple(dyn)))
             _, dyn2 = E.split_state(s)
+            # padding slots (idx == n) regenerate garbage frozen columns;
+            # their results are dropped by apply_q and must not poison
+            # the ok/overflow reductions
+            valid = idxs < n
             parts = [idxs,
-                     jnp.all(s.map_ok).astype(i32)[None],
-                     jnp.any(s.map_overflow).astype(i32)[None],
+                     jnp.all(s.map_ok | ~valid).astype(i32)[None],
+                     jnp.any(s.map_overflow & valid).astype(i32)[None],
                      s.min_xy.reshape(-1),
                      jax.lax.bitcast_convert_type(
                          s.map_obs.reshape(Q, MAPW, 4), i32).reshape(-1)]
@@ -456,10 +469,11 @@ class _KernelPrograms:
 
         # NOTE: ``states`` is caller-visible — never donated (the
         # env-major row updates copy ~70 MB, ~90 us at HBM bandwidth)
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 3))
-        def apply_q(bdyn, bctx, states, qstate, buf):
+        def _apply_q(bdyn, bctx, states, qstate, buf):
             """Scatter one result buffer into the blocked carry, the ball
-            table, the in-flight mask, and the env-major static state."""
+            table, the in-flight mask, and the env-major static state.
+            Padding slots carry idx == n; every scatter uses mode="drop",
+            so they (and a fully-empty queue) apply as a no-op."""
             tab, bmin, bnp, bms, bparams = bctx
             inflight, counters = qstate
             idxs = buf[:Q]
@@ -479,26 +493,34 @@ class _KernelPrograms:
                 if x.dtype == jnp.float32:
                     seg = jax.lax.bitcast_convert_type(seg, jnp.float32)
                 flat = x.reshape(-1).at[_col_idx(bi, lane, F)].set(
-                    seg.astype(x.dtype))
+                    seg.astype(x.dtype), mode="drop")
                 new_bdyn.append(flat.reshape(x.shape))
             trows = jax.vmap(E.pack_ball_word_table)(map_rows)
-            tab = tab.at[idxs].set(jnp.concatenate(trows, axis=1))
+            tab = tab.at[idxs].set(jnp.concatenate(trows, axis=1),
+                                   mode="drop")
             bmin = bmin.reshape(-1).at[_col_idx(bi, lane, 2)].set(
-                minxy).reshape(bmin.shape)
+                minxy, mode="drop").reshape(bmin.shape)
             inflight = inflight.reshape(-1).at[
-                _col_idx(bi, lane, 1)].set(0).reshape(inflight.shape)
+                _col_idx(bi, lane, 1)].set(0, mode="drop").reshape(
+                    inflight.shape)
             counters = jnp.stack(
                 [counters[0], counters[1] | (1 - ok),
                  counters[2] | over, counters[3]])
             states = states._replace(
-                map_obs=states.map_obs.at[idxs].set(map_rows),
-                min_xy=states.min_xy.at[idxs].set(minxy),
-                map_ok=states.map_ok.at[idxs].set(ok != 0),
-                map_overflow=states.map_overflow.at[idxs].set(over != 0))
+                map_obs=states.map_obs.at[idxs].set(map_rows, mode="drop"),
+                min_xy=states.min_xy.at[idxs].set(minxy, mode="drop"),
+                map_ok=states.map_ok.at[idxs].set(ok != 0, mode="drop"),
+                map_overflow=states.map_overflow.at[idxs].set(
+                    over != 0, mode="drop"))
             return (tuple(new_bdyn), (tab, bmin, bnp, bms, bparams),
                     states, (inflight, counters))
 
+        apply_q = functools.partial(jax.jit, donate_argnums=(0, 1, 3))(
+            _apply_q)
+
         self.block = block
+        self.n = n
+        self.q_cap = Q
         self.block_in = block_in
         self.run = run
         self.unblock = unblock
@@ -509,6 +531,14 @@ class _KernelPrograms:
         self.reset_q_cpu = jax.jit(_reset_q, backend="cpu")
         self.apply_q = apply_q
         self.feat = feat
+        # raw (unjitted) bodies, for composition inside shard_map
+        # (parallel/runner.py builds per-shard programs from these)
+        self.block_in_raw = _block_in
+        self.scan_raw = _scan
+        self.run_q_raw = _run_q
+        self.reset_q_raw = _reset_q
+        self.apply_q_raw = _apply_q
+        self.unblock_raw = _unblock
 
 
 def _kernel_programs(states, mask_src: str = "storage", block: int = 256,

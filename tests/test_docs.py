@@ -21,10 +21,13 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 # inside snippet text only (checked to stay whole-token by the doc text)
 _SCALE = [
     ("4096", "32"),
-    ("8192", "32"),
+    ("8192", "64"),
+    ("65536", "64"),
     ("1024", "16"),
     ("n_steps=10_000", "n_steps=40"),
     ("rngs, 10_000, chunk=1500", "rngs, 20, chunk=10"),
+    ("rollout_chunked(10_000, chunk=1500, block=512)",
+     "rollout_chunked(40, chunk=10, block=8)"),
     ("block=512", "block=16"),
     ("runner.rollout(500)", "runner.rollout(5)"),
     ("n_steps=500", "n_steps=10"),
@@ -57,7 +60,8 @@ def test_doc_snippet_runs(fname, code, monkeypatch):
         from eldorado_tpu import native
         if not native.available():
             pytest.skip("native toolchain unavailable")
-    if "backend=\"kernel\"" in code or "kernel_rollout" in code:
+    if ("backend=\"kernel\"" in code or "kernel_rollout" in code
+            or "rollout_chunked" in code):
         # CPU test backend: run the Pallas kernel in interpreter mode
         import eldorado_tpu.vec as V
         orig = V._kernel_programs

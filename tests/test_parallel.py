@@ -56,6 +56,39 @@ def test_sharded_stats_feed(mesh8):
     assert int(stats["steps"]) == 100
 
 
+def test_sharded_kernel_rollout_matches_single_device():
+    """Per-shard kernel scans + queued resets == the single-device kernel
+    chunked path, bit for bit. N=32 over a 4-device mesh with block=8
+    makes every local queue (Q = n_local = 8) big enough to hold all
+    local finishers, so both paths reset the same env set at the same
+    chunk boundary."""
+    mesh4 = M.make_mesh(4)
+    N2 = 32
+    states = vec.vec_reset(5, N2, 4, 2, 0, 10)   # short games: resets fire
+    rngs = vec.sampler_init(11, N2)
+    ss, rs, eps = R.sharded_kernel_rollout(
+        mesh4, states, rngs, 60, chunk=10, block=8, interpret=True)
+    su, ru, eps_u = vec.rollout_chunked(
+        states, rngs, 60, chunk=10, backend="kernel", block=8,
+        interpret=True)
+    assert eps_u > 0, "workload must exercise the reset queue"
+    assert eps == eps_u
+    assert np.array_equal(np.asarray(rs), np.asarray(ru))
+    for name in E.EnvState._fields:
+        assert np.array_equal(np.asarray(getattr(ss, name)),
+                              np.asarray(getattr(su, name))), name
+
+
+def test_runner_rollout_chunked():
+    mesh4 = M.make_mesh(4)
+    runner = R.ShardedRunner(mesh4, 32)
+    runner.reset(seed=3, n_pieces=2, max_steps=10)
+    stats = runner.rollout_chunked(80, chunk=10, block=8, interpret=True)
+    assert stats["steps"] == 80
+    assert stats["episodes"] > 0
+    runner.sync()
+
+
 def test_runner_contract_and_no_retrace(mesh8):
     runner = R.ShardedRunner(mesh8, N)
     runner.reset(seed=3, n_pieces=2, max_steps=100000)
