@@ -86,6 +86,33 @@ def run_config(envs, chunk, chunks, players, pieces, difficulty, backend,
     return envs * chunk * chunks / dt, backend, episodes
 
 
+def run_exact(envs, chunk, chunks, players, pieces, difficulty, block):
+    """Exact same-step auto-reset semantics (vec_cog_env::step_single):
+    finished envs are frozen (no sampler draws) until their reset lands,
+    so per-env trajectories are bit-exact vs the reference's continuous
+    streams and dead steps are EXCLUDED from the metric
+    (tests/test_exact_reset.py). Returns (live_steps_per_sec, episodes,
+    dead_fraction)."""
+    from eldorado_tpu.vec import rollout_chunked, sampler_init, vec_reset
+
+    states = vec_reset(12345, envs, players, pieces, difficulty, 100000)
+    jax.block_until_ready(states.map_obs)
+    rngs = sampler_init(42, envs)
+    s, r, _, _ = rollout_chunked(states, rngs, chunk, chunk,
+                                 backend="kernel", block=block, exact=True)
+    jax.block_until_ready(s.rng)
+    _prewarm_resets(states, envs)
+
+    total = envs * chunk * chunks
+    t0 = time.time()
+    states, rngs, episodes, dead = rollout_chunked(
+        states, rngs, chunk * chunks, chunk, backend="kernel", block=block,
+        exact=True)
+    jax.block_until_ready(states.rng)
+    dt = time.time() - t0
+    return (total - dead) / dt, episodes, dead / total
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
@@ -105,6 +132,8 @@ def main():
                     help="also time an env-count sweep (stderr)")
     ap.add_argument("--all-modes", action="store_true",
                     help="also time the other backend (stderr)")
+    ap.add_argument("--no-exact", action="store_true",
+                    help="skip the exact same-step auto-reset measurement")
     args = ap.parse_args()
 
     if args.sweep:
@@ -129,7 +158,7 @@ def main():
         args.envs, args.chunk, args.chunks, args.players, args.pieces,
         args.difficulty, args.backend, min(args.block, args.envs),
         args.reset_mode)
-    print(json.dumps({
+    line = {
         "metric": f"env_steps_per_sec@{args.envs}envs",
         "value": round(sps, 1),
         "unit": "env-steps/s",
@@ -138,7 +167,24 @@ def main():
         "reset_mode": args.reset_mode,
         "chunk": args.chunk,
         "episodes_reset_mid_run": episodes,
-    }))
+    }
+    if backend == "kernel" and not args.no_exact:
+        # the reference-semantics workload: same-step auto-reset per env
+        # (frozen finishers, dead steps excluded from the count)
+        try:
+            esps, eeps, edead = run_exact(
+                args.envs, args.chunk, args.chunks, args.players,
+                args.pieces, args.difficulty,
+                min(args.block, args.envs))
+            line["exact_env_steps_per_sec"] = round(esps, 1)
+            line["exact_vs_baseline"] = round(
+                esps / BASELINE_STEPS_PER_SEC, 4)
+            line["exact_episodes"] = eeps
+            line["exact_dead_fraction"] = round(edead, 5)
+        except Exception as e:
+            print(f"exact mode failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+    print(json.dumps(line))
     return 0
 
 

@@ -1132,15 +1132,26 @@ def step_core(s: EnvState, action, ball) -> EnvState:
     return _step_from_view(s, s1, _pview(s1, p), p, action, ball)
 
 
-def fused_sample_step(s: EnvState, srng, ball, mask_src: str = "storage"):
+def fused_sample_step(s: EnvState, srng, ball, mask_src: str = "storage",
+                      gate_dead: bool = False):
     """Sampler + step sharing ONE player projection: the sampler reads the
     current player's stored mask straight off the view instead of a second
-    (4,92) gather. Returns (state', srng', action)."""
+    (4,92) gather. Returns (state', srng', action).
+
+    ``gate_dead=True`` freezes a done env's sampler stream (no draws are
+    consumed on dead steps). The reference's vec envs are never done at
+    sample time (auto-reset happens inside step_single,
+    include/vec_environment.h:53-61), so a frozen env's stream position at
+    revival equals the reference's position at its episode boundary —
+    per-env trajectories with dead steps excluded are then bit-exact
+    against the reference's continuous same-step-auto-reset sequences
+    (the deferred-reset "exact" mode, vec.rollout_chunked(exact=True))."""
     p = s.agent
     s1 = _step_pre(s, p)
     v = _pview(s1, p)
     mask = v.storage if mask_src == "storage" else s.sel_mask
-    action, srng, tainted = sample_action(srng, mask)
+    live = ~s.done if gate_dead else None
+    action, srng, tainted = sample_action(srng, mask, live)
     s2 = _step_from_view(s, s1, v, p, action, ball)
     s2 = s2._replace(rng_tainted=s2.rng_tainted | tainted)
     return s2, srng, action
@@ -1393,19 +1404,27 @@ def merge_state(static, dyn):
 
 
 # ------------------------------------------------------------------- sampler
-def sample_action(rng, mask):
+def sample_action(rng, mask, live=None):
     """action_sampler::sample (include/sampler.h:14-79): per head, a uniform
     pick over the valid indices (all five heads always contain index 0, so
     exactly five engine draws are consumed). Returns (action5, rng, tainted)
     with ``tainted`` flagging the once-per-1e16-draws double-rejection
-    deviation from the exact libstdc++ stream."""
+    deviation from the exact libstdc++ stream.
+
+    ``live`` (optional bool) gates the engine draws: when False no stream
+    is consumed at all (used to freeze finished envs in the deferred
+    exact-auto-reset mode; see fused_sample_step)."""
     outs = []
     tainted = jnp.bool_(False)
     for off, width in ((PLAY0, 22), (SPECIAL0, 22), (REMOVE0, 22),
                        (MOVE0, 7), (SHOP0, 19)):
         bits = jax.lax.slice(mask, (off,), (off + width,)).astype(_i32)
         n = jnp.sum(bits)
-        pos, rng, tt = R.uniform_int_fast(rng, jnp.maximum(n, 1))
+        if live is None:
+            pos, rng, tt = R.uniform_int_fast(rng, jnp.maximum(n, 1))
+        else:
+            pos, rng, tt = R.uniform_int_fast_maybe(
+                rng, jnp.maximum(n, 1), live)
         tainted = tainted | tt
         csum = _csum_incl(bits) - bits
         # exactly one position matches; sum-of-index replaces bool argmax

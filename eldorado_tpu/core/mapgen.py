@@ -22,11 +22,13 @@ patch), bit-exact against eldorado_tpu.core.ref_engine.RefMap.generate:
 * Intermediate ``finalize`` calls are skipped: only the final rasterisation
   is observable (finalize has no effect on generation state).
 
-Geometry is doubled-integer axial (see core/tables.py). All work is int32 on
-a 192x192 occupancy grid (doubled coords observed within [-76, 70] over 3000
-generations incl. 10-piece HARD maps; offset 96 leaves margin). Capacity:
-MAX_PLACED = 16 pieces (12 observed worst case), 16*37 hex slots. Overflow
-sets ``ok`` False rather than corrupting state.
+Geometry is doubled-integer axial (see core/tables.py); all work is int32.
+Overlap testing is the reference's exact point-set semantics via a static
+pairwise (size, rot, size, rot, center-delta) bit table — no occupancy
+raster, no grid bounds, no empirical coordinate margins. The only fixed
+capacity is MAX_PLACED = 16 piece slots (12 observed worst case; 16*37 hex
+slots follow from it). Overflow sets ``ok`` False rather than corrupting
+state.
 """
 from __future__ import annotations
 
@@ -34,6 +36,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import GRIDSIZE, MAX_N_PLAYERS
 from ..ops import rng as R
@@ -43,8 +46,6 @@ from . import tables as T
 MAX_DEPTH = 5            # == MAX_FAILURES
 MAX_PLACED = 16
 HEX_SLOTS = MAX_PLACED * 37
-OCC = 192
-OFF = 96
 
 # pc codes
 _ENTRY, _LOOP, _END, _POP = 0, 1, 2, 3
@@ -71,6 +72,44 @@ _DIFF_MASK = jnp.asarray(
     [sum(1 << i for i in range(T.N_TRAVEL_PIECES)
          if T.PIECE_DIFFICULTY[T.TRAVEL_PIECE_0 + i] <= d)
      for d in range(3)], _i32)
+
+
+# ---- pairwise piece-overlap bit table --------------------------------------
+# Piece coordinates come from exactly 3 size templates (core/tables.py), so
+# "candidate footprint intersects placed piece" is a pure function of
+# (new_size, cand_rot, placed_size, placed_rot, center_delta). Precomputing
+# it as a bit table makes the overlap test ONE word gather + shift per
+# (candidate, placed-piece) pair — the reference's sorted-point merge
+# (src/map.cpp:53-74) and round 1's 192x192 occupancy-grid raster both
+# dissolve. This is also *exactly* the reference's point-set semantics:
+# no grid, no clipping, no empirical capacity margins.
+_OVL_DMAX = 12           # max |center delta| with any overlap (asserted)
+_OVL_ND = 2 * _OVL_DMAX + 1
+
+
+def _build_pair_overlap():
+    tmpl = [np.asarray(T.LARGE_XY), np.asarray(T.SMALL_XY),
+            np.asarray(T.END_XY)]
+    tbl = np.zeros((3, 6, 3, 6, _OVL_ND), np.int32)
+    dmax = 0
+    for sa in range(3):              # candidate (new piece) size
+        for ra in range(6):          # candidate rotation
+            fa = T.rotate_xy(tmpl[sa], ra)
+            for sb in range(3):      # placed piece size
+                for rb in range(6):  # placed piece rotation
+                    fb = T.rotate_xy(tmpl[sb], rb)
+                    # cand cell ca+a == placed cell cb+b  <=>  d := ca-cb
+                    # == b-a
+                    d = (fb[:, None, :] - fa[None, :, :]).reshape(-1, 2)
+                    dmax = max(dmax, int(np.abs(d).max()))
+                    w = tbl[sa, ra, sb, rb]
+                    np.bitwise_or.at(w, d[:, 0] + _OVL_DMAX,
+                                     np.int32(1) << (d[:, 1] + _OVL_DMAX))
+    assert dmax <= _OVL_DMAX, dmax
+    return tbl.reshape(-1)
+
+
+_OVL_TBL = jnp.asarray(_build_pair_overlap())
 
 
 def _select(pred, a, b):
@@ -109,8 +148,13 @@ def _rotv(v, times):
 
 class MapGenState(NamedTuple):
     # shared map build state
-    occ: jnp.ndarray           # (OCC, OCC) u8 occupancy
     entries: jnp.ndarray       # (MAX_PLACED,) i32 piece ids, -1 empty
+    entry_rot: jnp.ndarray     # (MAX_PLACED,) i32 rotation AT PLACEMENT —
+    #                            per-slot (unlike piece_rot, which is
+    #                            pid-keyed and overwritten when a retry
+    #                            frame re-places the same pid; the overlap
+    #                            test must see each placement's own frame)
+    entry_center: jnp.ndarray  # (MAX_PLACED, 2) i32 center at placement
     n_entries: jnp.ndarray     # i32
     hex_xy: jnp.ndarray        # (HEX_SLOTS, 2) i32
     hex_feat: jnp.ndarray      # (HEX_SLOTS, 3) i32 (req, n_req, is_end)
@@ -138,7 +182,7 @@ class MapGenOut(NamedTuple):
     player_start_xy: jnp.ndarray  # (MAX_N_PLAYERS, 2) i32 doubled
     player_start_no: jnp.ndarray  # (MAX_N_PLAYERS,) i32 hex start numbers
     ok: jnp.ndarray           # bool
-    overflow: jnp.ndarray     # bool: fixed-capacity bust (MAX_PLACED/OCC),
+    overflow: jnp.ndarray     # bool: fixed-capacity bust (MAX_PLACED),
     #                           an engine limitation — distinct from the
     #                           reference's legit generate_map_failure
     n_entries: jnp.ndarray    # i32 (diagnostics)
@@ -158,21 +202,19 @@ def _uid_maybe(state: MapGenState, n, do):
 
 
 def _add_piece(s: MapGenState, pid, coord, rot) -> MapGenState:
-    """reference: src/map.cpp:309-341 (bounds include the previous bounds)."""
+    """reference: src/map.cpp:309-341 (bounds include the previous bounds).
+    No occupancy raster: overlap rides the pairwise bit table, so the only
+    capacity is the MAX_PLACED slot count."""
     rot6 = rot % 6
     base = _PIECE_XY[pid]                      # (37,2)
     valid = _PIECE_VALID[pid]                  # (37,)
     pxy = _rotv(base, rot6) + coord
-    px, py = pxy[:, 0] + OFF, pxy[:, 1] + OFF
-    in_grid = (px >= 0) & (px < OCC) & (py >= 0) & (py < OCC)
-    gx = jnp.clip(px, 0, OCC - 1)
-    gy = jnp.clip(py, 0, OCC - 1)
-    occ = s.occ.at[gx, gy].max((valid & in_grid).astype(_u8))
-    overflow = (s.overflow | jnp.any(valid & ~in_grid)
-                | (s.n_entries >= MAX_PLACED))
+    overflow = s.overflow | (s.n_entries >= MAX_PLACED)
 
     slot = jnp.minimum(s.n_entries, MAX_PLACED - 1)
     entries = s.entries.at[slot].set(pid)
+    entry_rot = s.entry_rot.at[slot].set(rot6)
+    entry_center = s.entry_center.at[slot].set(coord)
     off = jnp.minimum(s.n_hex, HEX_SLOTS - 37)
     hex_xy = jax.lax.dynamic_update_slice(s.hex_xy, pxy, (off, jnp.int32(0)))
     hex_feat = jax.lax.dynamic_update_slice(
@@ -183,7 +225,8 @@ def _add_piece(s: MapGenState, pid, coord, rot) -> MapGenState:
     vmin = jnp.min(jnp.where(valid[:, None], pxy, big), axis=0)
     vmax = jnp.max(jnp.where(valid[:, None], pxy, -big), axis=0)
     return s._replace(
-        occ=occ, entries=entries, n_entries=s.n_entries + 1,
+        entries=entries, entry_rot=entry_rot, entry_center=entry_center,
+        n_entries=s.n_entries + 1,
         hex_xy=hex_xy, hex_feat=hex_feat, hex_valid=hex_valid,
         n_hex=jnp.minimum(s.n_hex + 37, HEX_SLOTS),
         min_xy=jnp.minimum(s.min_xy, vmin), max_xy=jnp.maximum(s.max_xy, vmax),
@@ -216,32 +259,27 @@ def _try_add_random(s: MapGenState, pid, active):
     live = ((jnp.arange(MAX_PLACED) < s.n_entries)[:, None]
             & (k_idx < nconn[:, None]))        # (P,21)
 
-    base = _PIECE_XY[pid]                      # (37,2)
-    bvalid = _PIECE_VALID[pid]                 # (37,)
-
-    # overlap test per placed-piece slot; the fori keeps the transient
-    # footprint buffer at (21,37,2) instead of (P,21,37,2) — peak reset
-    # memory at 4096 vmapped envs drops ~16x (the full form OOM-faulted the
-    # chip during large-batch resets)
-    occ_flat = s.occ.reshape(-1)
-
-    def slot_overlap(e, over):
-        fp = _rotv(base[None], rots[e, :, 0:1]) + coords[e, :, None, :]
-        gx = jnp.clip(fp[..., 0] + OFF, 0, OCC - 1)
-        gy = jnp.clip(fp[..., 1] + OFF, 0, OCC - 1)
-        # single flat index keeps the (vmapped) gather on the fast
-        # rank<=2-index path; two index dims lower ~2x slower on TPU
-        cell = occ_flat[(gx * OCC + gy).reshape(-1)].reshape(21, 37)
-        hit = (cell > 0) & bvalid[None, :]
-        return over.at[e].set(jnp.any(hit, axis=-1))
-
-    # dynamic bound: slots >= n_entries are dead (their `live` mask is
-    # False and `over` rows stay zero), and each iteration costs a
-    # 21x37-cell occupancy gather (~10 us/slot at 128 vmapped envs on
-    # TPU) — a 3-piece map only ever has <= 5 entries of MAX_PLACED=16
-    overlap = jax.lax.fori_loop(0, s.n_entries, slot_overlap,
-                                jnp.zeros((MAX_PLACED, 21), bool))
-    ok = live & ~overlap                       # (P,21)
+    # Overlap test against every placed piece via the static pairwise bit
+    # table: ONE gathered word + shift per (candidate, placed) pair — the
+    # candidate footprint is never materialised and there is no inner
+    # loop (round 2's per-slot fori with 21x37-cell occupancy gathers is
+    # gone; the whole (slots, cands, slots) cube is 16x21x16 words). The
+    # candidate probes its FIRST rotation option only (rots[:, :, 0]),
+    # exactly like the reference's single `overlap()` call per connection
+    # entry (src/map.cpp:287-295).
+    crot = rots[:, :, 0] % 6                   # (P,21) candidate rotation
+    # cand (e,k) vs placed slot f: d = cand_center - placed_center
+    d = coords[:, :, None, :] - s.entry_center[None, None, :, :]
+    dx, dy = d[..., 0], d[..., 1]              # (P,21,P)
+    inr = ((jnp.abs(dx) <= _OVL_DMAX) & (jnp.abs(dy) <= _OVL_DMAX)
+           & (jnp.arange(MAX_PLACED)[None, None, :] < s.n_entries))
+    idx = (((nsize * 6 + crot[:, :, None]) * 3 + psize[None, None, :]) * 6
+           + s.entry_rot[None, None, :]) * _OVL_ND \
+        + jnp.clip(dx + _OVL_DMAX, 0, _OVL_ND - 1)
+    w = _OVL_TBL[idx.reshape(-1)].reshape(MAX_PLACED, 21, MAX_PLACED)
+    hit = inr & (((w >> jnp.clip(dy + _OVL_DMAX, 0, 31)) & 1) > 0)
+    overlap = jnp.any(hit, axis=-1)            # (P,21)
+    ok = live & ~overlap
 
     flat_ok = ok.reshape(-1)
     n_valid = jnp.sum(flat_ok, dtype=_i32)
@@ -260,7 +298,6 @@ def _try_add_random(s: MapGenState, pid, active):
 def _map_clear(s: MapGenState) -> MapGenState:
     """Map::reset (src/map.cpp:744-752); piece transforms survive."""
     return s._replace(
-        occ=jnp.zeros_like(s.occ),
         entries=jnp.full_like(s.entries, -1),
         n_entries=jnp.zeros_like(s.n_entries),
         hex_valid=jnp.zeros_like(s.hex_valid),
@@ -292,8 +329,9 @@ def generate_map(rng_state, n_pieces, difficulty) -> MapGenOut:
     parity suite proves never fires on oracle workloads).
     """
     s = MapGenState(
-        occ=jnp.zeros((OCC, OCC), _u8),
         entries=jnp.full((MAX_PLACED,), -1, _i32),
+        entry_rot=jnp.zeros((MAX_PLACED,), _i32),
+        entry_center=jnp.zeros((MAX_PLACED, 2), _i32),
         n_entries=jnp.int32(0),
         hex_xy=jnp.zeros((HEX_SLOTS, 2), _i32),
         hex_feat=jnp.zeros((HEX_SLOTS, 3), _i32),

@@ -6,7 +6,7 @@ src/tests/test_environment.cpp:68-80).  The JAX engine cannot throw from
 inside a jitted program, so ``reset_env`` records the outcome in two state
 flags — ``map_ok`` (False when the reference would have thrown) and
 ``map_overflow`` (True when one of this engine's fixed procgen capacities,
-``core/mapgen.py`` MAX_PLACED/OCC, was hit) — and the host-side entry
+``core/mapgen.py`` MAX_PLACED, was hit) — and the host-side entry
 points (`vec.vec_reset`, `vec.reset_done*`, `compat.cog_env.reset`) check
 them and raise."""
 

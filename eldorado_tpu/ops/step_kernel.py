@@ -60,7 +60,7 @@ def _boxed_t(leaf):
     return leaf.astype(_i32) if leaf.dtype == jnp.bool_ else leaf
 
 
-def _step_values(feat, mask_src, *flat):
+def _step_values(feat, mask_src, gate_dead, *flat):
     """Pure (values -> values) fused sample+step on one env block, traced in
     the ordinary env-MAJOR layout (batch leading).  The kernel evaluates the
     resulting jaxpr through `_eval_kernel`, which re-lays every batched value
@@ -89,7 +89,7 @@ def _step_values(feat, mask_src, *flat):
     s = E.merge_state(static, tuple(dyn))
 
     s, srng, actions = jax.vmap(
-        lambda a, b, c: E.fused_sample_step(a, b, c, mask_src))(
+        lambda a, b, c: E.fused_sample_step(a, b, c, mask_src, gate_dead))(
             s, srng, ball)
 
     _, dyn_out = E.split_state(s)
@@ -316,10 +316,12 @@ def _eval_kernel(plan, block, inline_consts, hoisted, *args):
 
 
 def make_fused_step(states, mask_src: str = "storage", block: int = 256,
-                    interpret: bool = False, debug: bool = False):
+                    interpret: bool = False, debug: bool = False,
+                    gate_dead: bool = False):
     """Build a (states, srngs) -> (states, srngs, actions) fused step for
     this batch shape. ``block`` envs per kernel instance (grid over
-    N/block)."""
+    N/block). ``gate_dead`` freezes done envs' sampler streams
+    (engine.fused_sample_step)."""
     n = int(states.rng.shape[0])
     block = min(block, n)
     assert n % block == 0, (n, block)
@@ -335,7 +337,7 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
         ex.append(jnp.zeros((block,), _i32))    # packed ball words
     ex.append(jnp.zeros((block,), _i32))
     ex.append(jnp.zeros((block,), _i32))
-    body = functools.partial(_step_values, feat, mask_src)
+    body = functools.partial(_step_values, feat, mask_src, gate_dead)
     # make_jaxpr exposes *every* captured constant (closure_convert lifts
     # only inexact dtypes); build_plan then flattens + folds + CSEs + DCEs
     # the trace, and the kernel re-evaluates the plan with the surviving

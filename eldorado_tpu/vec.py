@@ -58,8 +58,8 @@ def check_map_generation(states):
     from .errors import GenerateMapFailure, MapCapacityError
     if bool(np.asarray(states.map_overflow).any()):
         raise MapCapacityError(
-            "map generation overflowed a fixed capacity (MAX_PLACED/OCC); "
-            "raise the caps in core/mapgen.py for these reset parameters")
+            "map generation overflowed a fixed capacity (MAX_PLACED); "
+            "raise MAX_PLACED in core/mapgen.py for these reset parameters")
     if not bool(np.asarray(states.map_ok).all()):
         raise GenerateMapFailure(
             "map generation failed more than MAX_FAILURES times "
@@ -249,9 +249,10 @@ class _KernelPrograms:
     * ``unblock_traj(traj)`` — per-step outputs to env-major.
     """
 
-    def __init__(self, states, mask_src, block, interpret):
+    def __init__(self, states, mask_src, block, interpret, gate_dead=False):
         from .ops.step_kernel import make_fused_step
-        fused = make_fused_step(states, mask_src, block, interpret)
+        fused = make_fused_step(states, mask_src, block, interpret,
+                                gate_dead=gate_dead)
         t_in, t_out = fused.t_in, fused.t_out
         feat = fused.feat
         i_xy = E.DYN_FIELDS.index("player_xy")
@@ -294,7 +295,11 @@ class _KernelPrograms:
                          * (4 * GRID2))[:, 0]
 
             def body(carry, _):
-                bdyn, brngs = carry
+                bdyn, brngs, dead = carry
+                # a step is dead when the env is done at ENTRY
+                # (cog_env::step's early-out, src/environment.cpp:92-95);
+                # the count feeds the exact-mode live-steps metric
+                dead = dead + jnp.sum(bdyn[i_done])
                 bxy = bdyn[i_xy]                       # (nb, 4, 2, block)
                 a = bdyn[i_agent]                      # (nb, 1, block)
                 q = a + 1
@@ -319,19 +324,19 @@ class _KernelPrograms:
                                                   bnp, bms)
                 out = ((bact, bdyn[i_done], bdyn[i_rew], bdyn[i_agent])
                        if want_traj else None)
-                return (bdyn, brngs), out
+                return (bdyn, brngs, dead), out
 
-            (bdyn, brngs), traj = jax.lax.scan(
-                body, (bdyn, brngs), None, length=n_steps)
-            return bdyn, brngs, traj
+            (bdyn, brngs, dead), traj = jax.lax.scan(
+                body, (bdyn, brngs, jnp.int32(0)), None, length=n_steps)
+            return bdyn, brngs, dead, traj
 
         @functools.partial(jax.jit, static_argnums=(3, 4),
                            donate_argnums=(1, 2))
         def run(bctx, bdyn, brngs, n_steps, want_traj):
-            bdyn, brngs, traj = _scan(bctx, bdyn, brngs, n_steps,
-                                      want_traj)
+            bdyn, brngs, dead, traj = _scan(bctx, bdyn, brngs, n_steps,
+                                            want_traj)
             any_done = jnp.max(bdyn[i_done]) > 0
-            return bdyn, brngs, any_done, traj
+            return bdyn, brngs, any_done, dead, traj
 
         def _unblock(states, bdyn, brngs):
             static, _ = _split_state(states)
@@ -384,8 +389,9 @@ class _KernelPrograms:
         def _run_q(bctx, bdyn, brngs, qstate, n_steps):
             """Scan + device-side reset-queue build: returns (bdyn, brngs,
             qstate', any_new, resetq) where resetq packs
-            [count, idxs(Q), params(Q,4), frozen dyn columns] as i32."""
-            bdyn, brngs, _ = _scan(bctx, bdyn, brngs, n_steps, False)
+            [count, idxs(Q), params(Q,4), frozen dyn columns] as i32.
+            counters[3] accumulates dead steps (exact-mode metric)."""
+            bdyn, brngs, dead, _ = _scan(bctx, bdyn, brngs, n_steps, False)
             inflight, counters = qstate
             newly = (bdyn[i_done] != 0) & (inflight == 0)
             nf = newly.reshape(n)            # env id = b*block + lane
@@ -415,7 +421,9 @@ class _KernelPrograms:
             inflight = inflight.reshape(-1).at[
                 _col_idx(bi, lane, 1)].max(
                     valid.astype(i32)[:, None]).reshape(inflight.shape)
-            counters = counters + jnp.where(jnp.arange(4) == 0, count, 0)
+            counters = (counters
+                        + jnp.where(jnp.arange(4) == 0, count, 0)
+                        + jnp.where(jnp.arange(4) == 3, dead, 0))
             return (bdyn, brngs, (inflight, counters), count > 0, resetq)
 
         run_q = functools.partial(jax.jit, static_argnums=(4,),
@@ -542,13 +550,15 @@ class _KernelPrograms:
 
 
 def _kernel_programs(states, mask_src: str = "storage", block: int = 256,
-                     interpret: bool = False) -> _KernelPrograms:
+                     interpret: bool = False,
+                     gate_dead: bool = False) -> _KernelPrograms:
     n = int(states.rng.shape[0])
-    key = (n, mask_src, min(block, n), interpret,
+    key = (n, mask_src, min(block, n), interpret, gate_dead,
            tuple(states.map_obs.shape))
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = _KernelPrograms(states, mask_src,
-                                             min(block, n), interpret)
+                                             min(block, n), interpret,
+                                             gate_dead)
     return _KERNEL_CACHE[key]
 
 
@@ -562,7 +572,7 @@ def kernel_rollout(states, sampler_rngs, n_steps: int,
     rollout(auto_reset='none')."""
     progs = _kernel_programs(states, mask_src, block, interpret)
     bctx, bdyn, brngs = progs.block_in(states, sampler_rngs)
-    bdyn, brngs, _, traj = progs.run(bctx, bdyn, brngs, n_steps, True)
+    bdyn, brngs, _, _, traj = progs.run(bctx, bdyn, brngs, n_steps, True)
     out_states, rngs = progs.unblock(states, bdyn, brngs)
     return out_states, rngs, progs.unblock_traj(traj)
 
@@ -570,7 +580,7 @@ def kernel_rollout(states, sampler_rngs, n_steps: int,
 def rollout_chunked(states, sampler_rngs, n_steps: int, chunk: int = 100,
                     mask_src: str = "storage", backend: str = "xla",
                     block: int = 256, interpret: bool = False,
-                    reset_mode: str = "sync"):
+                    reset_mode: str = "sync", exact: bool = False):
     """High-throughput driver: dispatch `chunk`-step scans and auto-reset
     finished envs between dispatches. The host-side `any(done)` check makes
     the reset program free on chunks where no episode ended; otherwise only
@@ -596,13 +606,23 @@ def rollout_chunked(states, sampler_rngs, n_steps: int, chunk: int = 100,
         extra chunk; their frozen state makes the deferred reset
         value-identical). Wins when host<->device transfers are cheap
         (PCIe); over a network-tunnelled device the transfers dominate
-        and "sync" is faster."""
+        and "sync" is faster.
+
+    exact (kernel backend only): freeze finished envs completely — dead
+    steps consume NO sampler draws, so every env's step sequence with
+    dead steps excluded is bit-exact against the reference's continuous
+    same-step auto-reset trajectories (vec_cog_env::step_single,
+    include/vec_environment.h:53-61; tested in tests/test_exact_reset.py).
+    Returns (states, srngs, episodes, dead_steps): the honest exact-mode
+    throughput metric is (n_envs * n_steps - dead_steps) / wall."""
     import numpy as np
     episodes = 0
     n_chunks = max(1, n_steps // chunk)
     if backend == "kernel":
         return _rollout_chunked_q(states, sampler_rngs, n_chunks, chunk,
-                                  mask_src, block, interpret, reset_mode)
+                                  mask_src, block, interpret, reset_mode,
+                                  exact)
+    assert not exact, "exact mode rides the kernel backend"
     for _ in range(n_chunks):
         states, sampler_rngs, _ = rollout(states, sampler_rngs, chunk,
                                           mask_src, "none")
@@ -614,7 +634,8 @@ def rollout_chunked(states, sampler_rngs, n_steps: int, chunk: int = 100,
 
 
 def _rollout_chunked_q(states, sampler_rngs, n_chunks, chunk,
-                       mask_src, block, interpret, reset_mode):
+                       mask_src, block, interpret, reset_mode,
+                       exact=False):
     """rollout_chunked's kernel backend with compacted reset queues: see
     rollout_chunked. The host blocks on exactly ONE scalar per chunk
     (`any_new`); episode / procgen-failure accounting rides in
@@ -626,7 +647,8 @@ def _rollout_chunked_q(states, sampler_rngs, n_chunks, chunk,
     applied one boundary later."""
     import numpy as np
     from .errors import GenerateMapFailure, MapCapacityError
-    progs = _kernel_programs(states, mask_src, block, interpret)
+    progs = _kernel_programs(states, mask_src, block, interpret,
+                             gate_dead=exact)
     deferred = reset_mode == "async"
     if deferred:
         cpu = jax.devices("cpu")[0]
@@ -667,6 +689,8 @@ def _rollout_chunked_q(states, sampler_rngs, n_chunks, chunk,
     if np.asarray(states.done).any():
         states, k = reset_done_bucketed(states)
         episodes += k
+    if exact:
+        return states, sampler_rngs, episodes, int(counters[3])
     return states, sampler_rngs, episodes
 
 

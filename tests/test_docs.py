@@ -66,8 +66,9 @@ def test_doc_snippet_runs(fname, code, monkeypatch):
         import eldorado_tpu.vec as V
         orig = V._kernel_programs
 
-        def forced(states, mask_src="storage", block=256, interpret=False):
-            return orig(states, mask_src, block, True)
+        def forced(states, mask_src="storage", block=256, interpret=False,
+                   gate_dead=False):
+            return orig(states, mask_src, block, True, gate_dead)
 
         monkeypatch.setattr(V, "_kernel_programs", forced)
     for a, b in _SCALE:

@@ -1,30 +1,58 @@
 #!/usr/bin/env python3
-"""Measure the on-device reset event cost: vmapped reset_env (procgen)
-at several queue widths, on the real chip. This is the denominator of
-the exact same-step auto-reset mode (VERDICT r2 items 3/5)."""
-import os, sys, time
+"""Measure the on-device reset event cost at several queue widths.
+
+Everything (make_state + reset_env incl. procgen) runs inside ONE jitted
+program per width — eager per-op dispatch over the network-tunnelled
+device costs ~ms per op and would swamp the measurement otherwise.
+This is the denominator of the exact same-step auto-reset mode.
+"""
+import os
+import sys
+import time
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import jax, jax.numpy as jnp
-import numpy as np
-from eldorado_tpu.core import engine as E
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
-def time_reset(q, n_pieces=3, iters=10):
-    seeds = jnp.arange(q, dtype=jnp.uint32) + 1000
-    make = jax.vmap(lambda s: E.make_state(s, 4, n_pieces, 0, 100000))
-    vreset = jax.jit(jax.vmap(E.reset_env))
-    states = make(seeds)
-    out = vreset(states); jax.block_until_ready(out.rng)   # warm
+from eldorado_tpu.core import engine as E  # noqa: E402
+from eldorado_tpu.core import mapgen as MG  # noqa: E402
+from eldorado_tpu.ops import rng as R  # noqa: E402
+
+
+def bench(f, x, iters=20):
+    o = f(x)
+    jax.block_until_ready(o)
     t0 = time.time()
-    for i in range(iters):
-        out = vreset(make(seeds + i))
-        jax.block_until_ready(out.rng)
-    dt = (time.time() - t0) / iters
-    print(f"Q={q:4d} n_pieces={n_pieces}: {dt*1e3:8.2f} ms/event "
-          f"({dt/q*1e6:7.1f} us/env)")
-    return dt
+    for _ in range(iters):
+        o = f(x)
+    jax.block_until_ready(o)
+    return (time.time() - t0) / iters
 
-for q in (1, 8, 32, 128):
-    time_reset(q)
+
+def main(n_pieces=3):
+    for q in (1, 8, 32, 128):
+        seeds = jnp.arange(q, dtype=jnp.uint32) + 1000
+
+        @jax.jit
+        def full_reset(seeds):
+            make = jax.vmap(
+                lambda s: E.make_state(s, 4, n_pieces, 0, 100000))
+            return jax.vmap(E.reset_env)(make(seeds))
+
+        @jax.jit
+        def gen_only(seeds):
+            rngs = jax.vmap(R.seed)(seeds)
+            return jax.vmap(lambda r: MG.generate_map(r, n_pieces, 0))(rngs)
+
+        t_gen = bench(gen_only, seeds)
+        t_full = bench(full_reset, seeds)
+        print(f"Q={q:4d} n_pieces={n_pieces}: generate_map "
+              f"{t_gen*1e3:7.2f} ms   full reset {t_full*1e3:7.2f} ms "
+              f"({t_full/q*1e6:7.1f} us/env)")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3)
