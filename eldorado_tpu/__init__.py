@@ -14,7 +14,9 @@ Public surface:
   auto-reset).
 * `eldorado_tpu.compat` — a `city_of_gold`-shaped module mirror
   (structured dtypes, `cog_env`, `action_sampler`, `vec` getters).
-* `eldorado_tpu.parallel` — mesh construction + `ShardedRunner`.
+* `eldorado_tpu.parallel` — mesh construction, `ShardedRunner` (incl.
+  the per-shard Pallas-kernel rollout driver), and the multi-process
+  pod bootstrap (`parallel.bootstrap`).
 * `eldorado_tpu.core.engine` — the single-env jitted reset/step/sampler.
 * `eldorado_tpu.ops.rng` — bit-exact libstdc++ minstd_rand0 /
   uniform_int_distribution streams.

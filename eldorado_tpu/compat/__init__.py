@@ -90,18 +90,118 @@ def _action_to_vec(action):
     return np.asarray(action, np.uint8).reshape(5)
 
 
+class _DeviceMapView:
+    """Board view for the device backend (render/get_map surface:
+    .obs / .player_xy / .min_xy, matching ref_engine.RefMap's fields)."""
+
+    def __init__(self, snap):
+        self.obs = snap["map_obs"]
+        self.player_xy = snap["player_xy"]
+        self.min_xy = snap["min_xy"]
+
+
+class _DeviceEnv:
+    """RefEnv-shaped adapter over the jitted single-env JAX engine — the
+    device analogue of the reference's native-backed cog_env
+    (reference: src/pybind/single_env.cpp:12-86 binds the C++ engine
+    directly; here the engine is core.engine's jitted reset/step on the
+    accelerator, bit-exact against RefEnv). One host snapshot is pulled
+    per reset/step; attribute reads are free after that."""
+
+    def __init__(self, seed=0, n_players=4, n_pieces=3, difficulty=0,
+                 max_steps=100000):
+        import jax
+
+        from ..core import engine as E
+        self._E = E
+        self._jstep = jax.jit(E.step_env)
+        self._jreset = jax.jit(E.reset_env)
+        self._jreset_full = jax.jit(E.reset_env_full,
+                                    static_argnums=(2, 3, 4, 5))
+        self.seed_ = int(seed)
+        self._state = E.make_state(int(seed), int(n_players), int(n_pieces),
+                                   int(difficulty), int(max_steps))
+        self._pull()
+
+    def _pull(self):
+        import jax
+        E = self._E
+        s = jax.device_get(self._state)
+        self._snap = {
+            "map_obs": np.asarray(s.map_obs, np.uint8),
+            "player_xy": np.asarray(s.player_xy),
+            "min_xy": np.asarray(s.min_xy),
+        }
+        self.map = _DeviceMapView(self._snap)
+        self.agent = int(s.agent)
+        self.done = bool(s.done)
+        self.phase = np.uint8(s.phase)
+        self.resources = np.asarray(s.resources, np.float32)
+        self.shop_stock = np.asarray(s.shop_stock, np.uint8)
+        self.piles = np.asarray(s.piles, np.uint8)
+        self.sel_mask = np.asarray(E.unpack_mask(s.sel_mask))
+        self.storage_masks = np.asarray(E.unpack_mask(s.storage_masks))
+        self.rewards = np.asarray(s.rewards, np.float32)
+        self.info_total = np.uint32(s.info_total)
+        self.info_steps = np.asarray(s.info_steps, np.uint8)
+        self.info_returns = np.asarray(s.info_returns, np.float32)
+        self.info_travelled = np.asarray(s.info_travelled, np.uint32)
+        self.info_added = np.asarray(s.info_added, np.uint8)
+        self.info_removed = np.asarray(s.info_removed, np.uint8)
+        self.info_mpc = np.zeros((MAX_N_PLAYERS, 3), np.uint32)  # dead stats
+        self.info_card_uses = np.asarray(s.info_card_uses, np.uint32)
+        self.n_players = int(s.n_players)
+        self.n_pieces = int(s.n_pieces)
+        self.difficulty = int(s.difficulty)
+        self.max_steps = int(s.max_steps)
+
+    def _check_map(self):
+        if bool(np.asarray(self._state.map_overflow)):
+            from ..errors import MapCapacityError
+            raise MapCapacityError("map generation overflowed MAX_PLACED")
+        if not bool(np.asarray(self._state.map_ok)):
+            raise GenerateMapFailure(
+                "map generation failed more than MAX_FAILURES times")
+
+    def reset(self, seed=None, n_players=None, n_pieces=None,
+              difficulty=None, max_steps=None):
+        if seed is None:
+            # param-less reset: same params, engine stream continues
+            # (reference: src/environment.cpp:42-64)
+            self._state = self._jreset(self._state)
+        else:
+            self.seed_ = int(seed)
+            self._state = self._jreset_full(
+                self._state, int(seed), int(n_players), int(n_pieces),
+                int(difficulty), int(max_steps))
+        self._check_map()
+        self._pull()
+
+    def step(self, action):
+        import jax.numpy as jnp
+        self._state = self._jstep(self._state,
+                                  jnp.asarray(action, jnp.int32))
+        self._pull()
+
+
 class cog_env:
     """Single environment (reference: src/pybind/single_env.cpp:12-86).
     Buffers are owned internally; the reference's init(obs, info, rewards,
-    mask) wiring is implicit."""
+    mask) wiring is implicit.
+
+    ``backend="device"`` (default) runs the real jitted engine on the
+    accelerator — the analogue of the reference binding the native C++
+    engine; ``backend="ref"`` keeps the host-numpy oracle (RefEnv)."""
 
     def __init__(self, seed=None, n_players=MAX_N_PLAYERS, n_pieces=3,
-                 difficulty=Difficulty.EASY, max_steps=100000, render=False):
+                 difficulty=Difficulty.EASY, max_steps=100000, render=False,
+                 backend="device"):
         if seed is None:
             seed = np.random.SeedSequence().entropy % (2 ** 32)
-        self._env = RefEnv(seed=int(seed), n_players=int(n_players),
-                           n_pieces=int(n_pieces), difficulty=int(difficulty),
-                           max_steps=int(max_steps))
+        cls = _DeviceEnv if backend == "device" else RefEnv
+        self._env = cls(seed=int(seed), n_players=int(n_players),
+                        n_pieces=int(n_pieces), difficulty=int(difficulty),
+                        max_steps=int(max_steps))
         self._render = bool(render)
         self._bufs = None
 

@@ -68,7 +68,9 @@ class VecEnvCompat:
         return np.asarray(self._v.states.rewards)
 
     def get_selected_action_masks(self):
-        return _flat_masks_to_struct(np.asarray(self._v.states.sel_mask))
+        from ..core import engine as _E
+        return _flat_masks_to_struct(
+            np.asarray(_E.unpack_mask(self._v.states.sel_mask)))
 
     def get_observations(self):
         from . import obs_dtype

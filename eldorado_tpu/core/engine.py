@@ -195,20 +195,6 @@ def _csum_incl(x_i32):
     return (x_i32.astype(_f32) @ tril).astype(_i32)
 
 
-_EMBED_MATS = {}
-
-
-def _embed(vals, off):
-    """Place a bool head at a static offset in the flat 92-mask via a
-    placement matmul (Mosaic rejects bool concatenation)."""
-    key = (int(off), int(vals.shape[-1]))
-    if key not in _EMBED_MATS:
-        m = np.zeros((key[1], MASK_LEN), np.float32)
-        m[np.arange(key[1]), off + np.arange(key[1])] = 1.0
-        _EMBED_MATS[key] = m
-    return (vals.astype(_f32) @ _EMBED_MATS[key]) > 0.5
-
-
 class EnvState(NamedTuple):
     rng: jnp.ndarray            # u32 engine state
     # reset params (fixed across auto-resets)
@@ -247,8 +233,8 @@ class EnvState(NamedTuple):
     resources: jnp.ndarray      # (3,) f32
     turn_counter: jnp.ndarray   # i32
     done: jnp.ndarray           # bool
-    # masks
-    sel_mask: jnp.ndarray       # (92,) bool
+    # masks (both bit-packed; unpack_mask at API boundaries)
+    sel_mask: jnp.ndarray       # (3,) i32 packed words (pack_mask)
     storage_masks: jnp.ndarray  # (4,3) i32 packed rows (pack_mask)
     # outputs (persist across resets)
     rewards: jnp.ndarray        # (4,) f32
@@ -354,6 +340,84 @@ def unpack_mask(words):
     return u[..., :MASK_LEN] != 0
 
 
+# ---- packed-word mask algebra ------------------------------------------
+# The step's WORKING masks (sel + the per-player storage rows it edits)
+# ride as (3,) i32 words end to end: the (92,)-bool pipeline was 52% of
+# the fused kernel's vreg units (55 select_n + 55 and + 32 broadcast +
+# 26 or + 24 eq + ... on (92, block) tensors); the same updates on 3
+# words are ~30x smaller. Bit positions can sit in the sign bit — all
+# algebra is & | ^ ~ and shifts, and addition of DISTINCT bit positions
+# (two's complement) equals OR, so packing sums are carry-free.
+_IOTA3W = np.arange(MASK_WORDS)
+
+
+def _np_pack_mask(bits):
+    """numpy pack_mask for static constants."""
+    x = np.zeros(32 * MASK_WORDS, np.int64)
+    x[:MASK_LEN] = np.asarray(bits, np.int64)
+    w = (x.reshape(MASK_WORDS, 32) << np.arange(32)).sum(-1)
+    return (w & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+
+def _head_mask_w(off, width):
+    m = np.zeros(MASK_LEN, bool)
+    m[off:off + width] = True
+    return _np_pack_mask(m)
+
+
+_NULL_W = _np_pack_mask(_NULL_MASK)
+_CLEAR_PSR_W = _head_mask_w(PLAY0, 66)   # play+special+remove heads
+
+
+def _mask_reset_w(m):
+    """ActionMask::reset on packed words (see _mask_reset)."""
+    return (m & ~_CLEAR_PSR_W) | _NULL_W
+
+
+def _bit_mask_w(pos):
+    """(3,) i32 with (traced) bit ``pos`` set in its word."""
+    return jnp.where(_IOTA3W == (pos >> 5),
+                     jax.lax.shift_left(jnp.int32(1), pos & 31),
+                     jnp.int32(0))
+
+
+def _bit_get_w(w, pos):
+    """Bool value of (traced) bit ``pos`` of a (3,) word vector."""
+    return jnp.sum(jnp.where((w & _bit_mask_w(pos)) != 0, 1, 0)) > 0
+
+
+def _bit_put_w(w, pos, bit):
+    """Set (traced) bit ``pos`` to (traced bool) ``bit``."""
+    m = _bit_mask_w(pos)
+    return (w & ~m) | jnp.where(bit, m, jnp.int32(0))
+
+
+def _pack_head_w(bits, off):
+    """(k,) bool/int head -> (3,) words with the head at static ``off``
+    (addition of distinct bit positions == OR, carry-free)."""
+    k = bits.shape[-1]
+    pos = off + np.arange(k)
+    jk, sk = pos >> 5, (pos & 31).astype(np.int32)
+    sh = jax.lax.shift_left(bits.astype(_i32), sk)
+    return jnp.stack([jnp.sum(jnp.where(jk == j, sh, 0))
+                      for j in range(MASK_WORDS)])
+
+
+def _set_head_w(w, bits, off):
+    """Replace head bits [off, off+k) of ``w`` with ``bits``."""
+    return ((w & ~_head_mask_w(off, int(bits.shape[-1])))
+            | _pack_head_w(bits, off))
+
+
+def _head_field_w(w, off, width):
+    """Extract head bits [off, off+width) (width <= 22) as one scalar."""
+    j0, sh = off >> 5, off & 31
+    f = jax.lax.shift_right_logical(w[j0], np.int32(sh))
+    if sh + width > 32:
+        f = f | jax.lax.shift_left(w[j0 + 1], np.int32(32 - sh))
+    return f & ((1 << width) - 1)
+
+
 def make_state(seed=0, n_players=4, n_pieces=3, difficulty=0,
                max_steps=100000) -> EnvState:
     """Freshly-constructed env + zeroed external buffers (probe layout:
@@ -382,7 +446,7 @@ def make_state(seed=0, n_players=4, n_pieces=3, difficulty=0,
         phase=jnp.asarray(0, _i32), agent=jnp.asarray(0, _i32),
         resources=jnp.zeros(3, _f32),
         turn_counter=jnp.asarray(0, _i32), done=jnp.bool_(False),
-        sel_mask=init_mask(),
+        sel_mask=pack_mask(init_mask()),
         storage_masks=jnp.tile(pack_mask(init_mask())[None], (4, 1)),
         rewards=jnp.zeros(4, _f32),
         info_total=jnp.asarray(0, _i32), info_steps=z4u8,
@@ -392,19 +456,13 @@ def make_state(seed=0, n_players=4, n_pieces=3, difficulty=0,
         rng_tainted=jnp.bool_(False))
 
 
-def _sel_card_bits(sel, idx, play_bit, special_bit, remove_bit=None):
-    """Set sel[PLAY0+1+idx], sel[SPECIAL0+1+idx] (and optionally
-    sel[REMOVE0+1+idx]) in one fused pass over the flat mask."""
-    # Logical ops, not where(mask, scalar_bool, sel): Mosaic lowers a
-    # bool-scalar select operand as an i8 splat + trunci-to-i1 and rejects
-    # the truncation.
-    tgt_play = _oh(PLAY0 + 1 + idx, _IOTA92)
-    tgt_special = _oh(SPECIAL0 + 1 + idx, _IOTA92)
-    out = (sel & ~tgt_play) | (tgt_play & play_bit)
-    out = (out & ~tgt_special) | (tgt_special & special_bit)
+def _sel_card_bits(sel_w, idx, play_bit, special_bit, remove_bit=None):
+    """Set sel bit PLAY0+1+idx, SPECIAL0+1+idx (and optionally
+    REMOVE0+1+idx) on the packed (3,) word mask."""
+    out = _bit_put_w(sel_w, PLAY0 + 1 + idx, play_bit)
+    out = _bit_put_w(out, SPECIAL0 + 1 + idx, special_bit)
     if remove_bit is not None:
-        tgt_rm = _oh(REMOVE0 + 1 + idx, _IOTA92)
-        out = (out & ~tgt_rm) | (tgt_rm & remove_bit)
+        out = _bit_put_w(out, REMOVE0 + 1 + idx, remove_bit)
     return out
 
 
@@ -432,7 +490,7 @@ class PView(NamedTuple):
     n_in_draw: jnp.ndarray       # scalar
     idx_last: jnp.ndarray        # scalar
     xy: jnp.ndarray              # (2,) i32
-    storage: jnp.ndarray         # (92,) bool — player p's stored mask
+    storage: jnp.ndarray         # (3,) i32 — player p's stored mask words
     has_won: jnp.ndarray         # scalar bool
     mip: jnp.ndarray             # scalar bool
     next_card_free: jnp.ndarray  # scalar bool
@@ -441,7 +499,7 @@ class PView(NamedTuple):
     n_movements: jnp.ndarray     # scalar i32
     n_added: jnp.ndarray         # scalar
     # shared
-    sel: jnp.ndarray             # (92,) bool — selected action mask
+    sel: jnp.ndarray             # (3,) i32 — selected action mask words
     resources: jnp.ndarray       # (3,) f32
     phase: jnp.ndarray           # scalar i32
     shop_stock: jnp.ndarray      # (18,)
@@ -464,7 +522,7 @@ def _pview(s: EnvState, p) -> PView:
         played=rows[PILE_PLAYED], discard=rows[PILE_DISCARD],
         n_in_hand=g(s.n_in_hand), n_active=g(s.n_active),
         n_in_draw=g(s.n_in_draw), idx_last=g(s.idx_last),
-        xy=xy, storage=unpack_mask(_wrow(s.storage_masks, p)),
+        xy=xy, storage=_wrow(s.storage_masks, p),
         has_won=g(s.has_won), mip=g(s.mip),
         next_card_free=g(s.next_card_free),
         next_move_free=g(s.next_move_free),
@@ -489,7 +547,7 @@ def _pview_embed(s: EnvState, p, v: PView) -> EnvState:
         idx_last=sput(s.idx_last, v.idx_last),
         player_xy=jnp.where(_oh(p, _IOTA4[:, None]), v.xy[None],
                             s.player_xy),
-        storage_masks=_put_row(s.storage_masks, p, pack_mask(v.storage)),
+        storage_masks=_put_row(s.storage_masks, p, v.storage),
         has_won=bput(s.has_won, v.has_won),
         mip=bput(s.mip, v.mip),
         next_card_free=bput(s.next_card_free, v.next_card_free),
@@ -530,12 +588,14 @@ def _deck_draw_p(v: PView, n) -> PView:
         draw = _wrap8(draw - dlt)
         hand = _wrap8(hand + dlt)
         nid = jnp.where(live, _wrap8(nid - one), nid)
-        # sel | cond, not where(cond, True, sel): a literal-True select
-        # lowers to an i8 splat + trunci, which Mosaic rejects.
-        sel = sel | (live & _oh(PLAY0 + 1 + ct, _IOTA92))
-        tgt_sp = live & _oh(SPECIAL0 + 1 + ct, _IOTA92)
-        sel = (sel & ~tgt_sp) | (tgt_sp
-                                 & _get1(_CARD_IS_SPECIAL, ct, _IOTA21))
+        # packed-word bit updates; the special bit is rewritten only on
+        # live draws (matches the old masked tgt_sp form)
+        sel = sel | jnp.where(live, _bit_mask_w(PLAY0 + 1 + ct),
+                              jnp.int32(0))
+        msp = _bit_mask_w(SPECIAL0 + 1 + ct)
+        new_sp = (sel & ~msp) | jnp.where(
+            _get1(_CARD_IS_SPECIAL, ct, _IOTA21), msp, jnp.int32(0))
+        sel = jnp.where(live, new_sp, sel)
     return v._replace(draw=draw, hand=hand, discard=discard, n_in_draw=nid,
                       n_in_hand=_wrap8(v.n_in_hand + n_eff),
                       sel=sel, rng=rng, tainted=taint)
@@ -595,8 +655,8 @@ def _remove_immediate_p(v: PView, idx) -> PView:
     oh_c = _oh(idx, _IOTA21)
     prev = _get1(v.hand, idx, _IOTA21)
     one = jnp.asarray(1, _u8)
-    play_bit = _get1(v.sel, PLAY0 + 1 + idx, _IOTA92) & (prev > 1)
-    remove_bit = _get1(v.sel, REMOVE0 + 1 + idx, _IOTA92) & (prev > 1)
+    play_bit = _bit_get_w(v.sel, PLAY0 + 1 + idx) & (prev > 1)
+    remove_bit = _bit_get_w(v.sel, REMOVE0 + 1 + idx) & (prev > 1)
     return v._replace(
         hand=_wrap8(v.hand - jnp.where(oh_c, one, jnp.zeros((), _u8))),
         n_in_hand=_wrap8(v.n_in_hand - one),
@@ -633,20 +693,21 @@ def _pick_actives_p(v: PView, n, to_discard) -> PView:
 
 
 # --------------------------------------------------------------------- masks
+_PLAYSP_W = _head_mask_w(PLAY0, 44)     # play + special heads
+_REMOVE_W = _head_mask_w(REMOVE0, 22)
+
+
 def _disable_playing_p(v: PView) -> PView:
-    """src/player.cpp:191-196 (selected mask)."""
-    cleared = _IN_PLAY | _IN_SPECIAL
-    return v._replace(sel=jnp.where(cleared, _NULL_MASK, v.sel))
+    """src/player.cpp:191-196 (selected mask, packed words)."""
+    return v._replace(sel=(v.sel & ~_PLAYSP_W) | (_NULL_W & _PLAYSP_W))
 
 
 def _enable_playing_p(v: PView) -> PView:
-    """src/player.cpp:198-206 (selected mask)."""
+    """src/player.cpp:198-206 (selected mask, packed words)."""
     play = v.hand > 0                                 # (21,)
-    flat_play = _embed(play, PLAY0 + 1)
-    flat_special = _embed(play & _CARD_IS_SPECIAL, SPECIAL0 + 1)
-    sel = jnp.where(_IN_REMOVE, _NULL_MASK, v.sel)
-    sel = jnp.where(_IN_PLAY & (_IOTA92 != PLAY0), flat_play, sel)
-    sel = jnp.where(_IN_SPECIAL & (_IOTA92 != SPECIAL0), flat_special, sel)
+    sel = (v.sel & ~_REMOVE_W) | (_NULL_W & _REMOVE_W)
+    sel = _set_head_w(sel, play, PLAY0 + 1)
+    sel = _set_head_w(sel, play & _CARD_IS_SPECIAL, SPECIAL0 + 1)
     return v._replace(sel=sel)
 
 
@@ -923,15 +984,18 @@ def _movement_mask(s: EnvState, p, resources, n_active):
     return (req != 5) & filled
 
 
+_MOVESHOP_W = _head_mask_w(MOVE0, 26)   # move (7) + shop (19) heads
+
+
 def _obs_mask(m, phase, mv, shop_av):
     """cog_env::update_observation — move/shop heads of a stored mask
-    (src/environment.cpp:252-279)."""
-    m = jnp.where(_IN_MOVE | _IN_SHOP, _NULL_MASK, m)
-    m = jnp.where((phase == TurnPhase.MOVEMENT)
-                  & _IN_MOVE & (_IOTA92 != MOVE0), _embed(mv, MOVE0 + 1), m)
-    m = jnp.where((phase == TurnPhase.BUYING)
-                  & _IN_SHOP & (_IOTA92 != SHOP0),
-                  _embed(shop_av, SHOP0 + 1), m)
+    (src/environment.cpp:252-279), packed words. After the NULL reset the
+    non-index-0 move/shop bits are zero, so OR == replace."""
+    m = (m & ~_MOVESHOP_W) | (_NULL_W & _MOVESHOP_W)
+    m = m | jnp.where(phase == TurnPhase.MOVEMENT,
+                      _pack_head_w(mv, MOVE0 + 1), jnp.int32(0))
+    m = m | jnp.where(phase == TurnPhase.BUYING,
+                      _pack_head_w(shop_av, SHOP0 + 1), jnp.int32(0))
     return m
 
 
@@ -939,10 +1003,10 @@ def _update_observation(s: EnvState, agent):
     """Map-reading variant used on the reset path (positions are fresh)."""
     mv = _movement_mask(s, agent, s.resources,
                         _get1(s.n_active, agent, _IOTA4).astype(_i32))
-    m = _obs_mask(unpack_mask(_wrow(s.storage_masks, agent)), s.phase,
+    m = _obs_mask(_wrow(s.storage_masks, agent), s.phase,
                   mv, _shop_available(s, s.resources[2]))
     return s._replace(
-        storage_masks=_put_row(s.storage_masks, agent, pack_mask(m)))
+        storage_masks=_put_row(s.storage_masks, agent, m))
 
 
 # --------------------------------------------------------------------- reset
@@ -970,10 +1034,10 @@ def _player_reset(s: EnvState, p):
         n_in_draw=jnp.where(oh_p, z, s.n_in_draw),
         n_in_hand=jnp.where(oh_p, z, s.n_in_hand),
         n_active=jnp.where(oh_p, z, s.n_active),
-        sel_mask=_mask_reset(s.sel_mask))
+        sel_mask=_mask_reset_w(s.sel_mask))
     s = _deck_draw(s, p, jnp.asarray(HAND_SIZE, _i32))
     return s._replace(storage_masks=_put_row(
-        s.storage_masks, p, pack_mask(s.sel_mask)))
+        s.storage_masks, p, s.sel_mask))
 
 
 def reset_env(s: EnvState) -> EnvState:
@@ -1004,7 +1068,7 @@ def reset_env(s: EnvState) -> EnvState:
         return _select(p < s.n_players, _update_observation(s, p), s)
     s = jax.lax.fori_loop(0, MAX_N_PLAYERS, obody, s, unroll=True)
     return s._replace(
-        sel_mask=unpack_mask(_wrow(s.storage_masks, s.agent)))
+        sel_mask=_wrow(s.storage_masks, s.agent))
 
 
 def reset_env_full(s: EnvState, seed, n_players, n_pieces, difficulty,
@@ -1040,14 +1104,17 @@ def _run_special_p(v: PView, special, ball_p) -> PView:
     reference executes specials after update_observation, and a pending
     special implies the turn did not rotate)."""
 
-    def shop_flat(v):
-        return _embed(_shop_avail(v.shop_stock, v.in_market, v.n_in_market,
-                                  jnp.asarray(0.0, _f32)), SHOP0 + 1)
+    SHOP1_W = _head_mask_w(SHOP0 + 1, 18)
+    MOVE_W = _head_mask_w(MOVE0, 7)
+
+    def put_shop(m, v):
+        return (m & ~SHOP1_W) | _pack_head_w(
+            _shop_avail(v.shop_stock, v.in_market, v.n_in_market,
+                        jnp.asarray(0.0, _f32)), SHOP0 + 1)
 
     def f_transmit(v):
-        m = jnp.where(_IN_MOVE, _NULL_MASK, v.storage)
-        tm = _embed(v.shop_stock > 0, SHOP0 + 1)
-        m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), tm, m)
+        m = (v.storage & ~MOVE_W) | (_NULL_W & MOVE_W)
+        m = (m & ~SHOP1_W) | _pack_head_w(v.shop_stock > 0, SHOP0 + 1)
         v = _disable_playing_p(v._replace(storage=m))
         return v._replace(next_card_free=jnp.bool_(True))
 
@@ -1062,11 +1129,16 @@ def _run_special_p(v: PView, special, ball_p) -> PView:
     sd = _deck_draw_p(v, nd)
 
     def f_draw_remove(v):
-        # remove head := play head (incl. index 0; src/cards.cpp:18);
-        # slice+placement-matmul instead of a bool roll (i8 in Mosaic)
-        play_head = jax.lax.slice(v.storage, (PLAY0,), (PLAY0 + 22,))
-        m = jnp.where(_IN_REMOVE, _embed(play_head, REMOVE0), v.storage)
-        m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), shop_flat(v), m)
+        # remove head := play head incl. index 0 (src/cards.cpp:18), as
+        # pure word algebra: REMOVE0 = 44 puts play bits 0..19 at w1
+        # bits 12..31 and play bits 20..21 at w2 bits 0..1
+        w0 = v.storage[0]
+        w1 = ((v.storage[1] & 0xFFF)
+              | jax.lax.shift_left(w0 & 0xFFFFF, np.int32(12)))
+        w2 = ((v.storage[2] & ~jnp.int32(3))
+              | (jax.lax.shift_right_logical(w0, np.int32(20)) & 3))
+        m = jnp.stack([w0, w1, w2])
+        m = put_shop(m, v)
         v = _disable_playing_p(v._replace(storage=m))
         return v._replace(n_removes=nd.astype(_u8))
 
@@ -1074,15 +1146,14 @@ def _run_special_p(v: PView, special, ball_p) -> PView:
         mv = _movement_mask_row(ball_p, jnp.asarray(0, _i32),
                                 jnp.full(3, 100.0, _f32),
                                 jnp.asarray(100, _i32))
-        m = jnp.where(_IN_MOVE & (_IOTA92 != MOVE0), _embed(mv, MOVE0 + 1),
-                      v.storage)
-        m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), shop_flat(v), m)
+        m = ((v.storage & ~_head_mask_w(MOVE0 + 1, 6))
+             | _pack_head_w(mv, MOVE0 + 1))
+        m = put_shop(m, v)
         v = _disable_playing_p(v._replace(storage=m))
         return v._replace(next_move_free=jnp.bool_(True))
 
     def f_shop_disable(v):
-        m = jnp.where(_IN_SHOP & (_IOTA92 != SHOP0), shop_flat(v), v.storage)
-        return v._replace(storage=m)
+        return v._replace(storage=put_shop(v.storage, v))
 
     out = _select(special == T.SPECIAL_TRANSMIT, f_transmit(v), v)
     out = _select((special == T.SPECIAL_DRAW2)
@@ -1151,7 +1222,7 @@ def fused_sample_step(s: EnvState, srng, ball, mask_src: str = "storage",
     v = _pview(s1, p)
     mask = v.storage if mask_src == "storage" else s.sel_mask
     live = ~s.done if gate_dead else None
-    action, srng, tainted = sample_action(srng, mask, live)
+    action, srng, tainted = _sample_action_w(srng, mask, live)
     s2 = _step_from_view(s, s1, v, p, action, ball)
     s2 = s2._replace(rng_tainted=s2.rng_tainted | tainted)
     return s2, srng, action
@@ -1319,7 +1390,7 @@ def _step_from_view(s0: EnvState, s: EnvState, v: "PView", p, action,
     et_v, saved = _end_turn_p(v)
     q = p + 1
     q = jnp.where(q >= s.n_players, 0, q)
-    row_q = unpack_mask(_wrow(s.storage_masks, q))
+    row_q = _wrow(s.storage_masks, q)
     sel_next = jnp.where(q == p, saved, row_q)
     v = _select(rotate, et_v._replace(sel=sel_next), v)
 
@@ -1354,8 +1425,7 @@ def _step_from_view(s0: EnvState, s: EnvState, v: "PView", p, action,
     r_idx = jnp.where(rotate, q, p)
     s = _pview_embed(s, p, v._replace(storage=mask_p_final))
     s = s._replace(
-        storage_masks=_put_row(s.storage_masks, r_idx,
-                               pack_mask(mask_r_final)),
+        storage_masks=_put_row(s.storage_masks, r_idx, mask_r_final),
         agent=r_idx,
         turn_counter=s.turn_counter + rotate.astype(_i32))
 
@@ -1404,21 +1474,17 @@ def merge_state(static, dyn):
 
 
 # ------------------------------------------------------------------- sampler
-def sample_action(rng, mask, live=None):
-    """action_sampler::sample (include/sampler.h:14-79): per head, a uniform
-    pick over the valid indices (all five heads always contain index 0, so
-    exactly five engine draws are consumed). Returns (action5, rng, tainted)
-    with ``tainted`` flagging the once-per-1e16-draws double-rejection
-    deviation from the exact libstdc++ stream.
+_HEAD_DEFS = ((PLAY0, 22), (SPECIAL0, 22), (REMOVE0, 22),
+              (MOVE0, 7), (SHOP0, 19))
 
-    ``live`` (optional bool) gates the engine draws: when False no stream
-    is consumed at all (used to freeze finished envs in the deferred
-    exact-auto-reset mode; see fused_sample_step)."""
+
+def _sample_action_w(rng, w, live=None):
+    """sample_action on a packed (3,)-word mask (the step-internal form)."""
     outs = []
     tainted = jnp.bool_(False)
-    for off, width in ((PLAY0, 22), (SPECIAL0, 22), (REMOVE0, 22),
-                       (MOVE0, 7), (SHOP0, 19)):
-        bits = jax.lax.slice(mask, (off,), (off + width,)).astype(_i32)
+    for off, width in _HEAD_DEFS:
+        f = _head_field_w(w, off, width)               # scalar, bits 0..21
+        bits = (f >> np.arange(width)) & 1             # (width,) i32
         n = jnp.sum(bits)
         if live is None:
             pos, rng, tt = R.uniform_int_fast(rng, jnp.maximum(n, 1))
@@ -1432,3 +1498,18 @@ def sample_action(rng, mask, live=None):
         val = jnp.sum(jnp.where(match, np.arange(width), 0), dtype=_i32)
         outs.append(jnp.where(n > 0, val, 0))
     return jnp.stack(outs), rng, tainted
+
+
+def sample_action(rng, mask, live=None):
+    """action_sampler::sample (include/sampler.h:14-79): per head, a uniform
+    pick over the valid indices (all five heads always contain index 0, so
+    exactly five engine draws are consumed). Returns (action5, rng, tainted)
+    with ``tainted`` flagging the once-per-1e16-draws double-rejection
+    deviation from the exact libstdc++ stream.
+
+    ``mask`` is the flat (92,) bool mask (reference ABI); the fused step
+    paths use the packed-word form directly (_sample_action_w).
+    ``live`` (optional bool) gates the engine draws: when False no stream
+    is consumed at all (used to freeze finished envs in the deferred
+    exact-auto-reset mode; see fused_sample_step)."""
+    return _sample_action_w(rng, pack_mask(mask), live)

@@ -44,7 +44,15 @@ from . import tables as T
 
 # capacities (static)
 MAX_DEPTH = 5            # == MAX_FAILURES
-MAX_PLACED = 16
+# Placed-piece slot budget. The reference has no cap (its vectors grow,
+# src/map.cpp:309-341); a successful generation can legitimately stack
+# multiple partial maps (a mid-loop retry regenerates ON TOP of the
+# current map without clearing, src/map.cpp:716-731), so the budget must
+# cover (2 + n_pieces) x (1 + retries-that-succeeded). 48 covers the
+# full n_pieces=16 library through a depth-2 stack and n_pieces <= 14
+# through depth-3; beyond that overflow raises MapCapacityError rather
+# than corrupting state (tests/test_map_capacity.py sweeps the grid).
+MAX_PLACED = 48
 HEX_SLOTS = MAX_PLACED * 37
 
 # pc codes
@@ -268,17 +276,24 @@ def _try_add_random(s: MapGenState, pid, active):
     # exactly like the reference's single `overlap()` call per connection
     # entry (src/map.cpp:287-295).
     crot = rots[:, :, 0] % 6                   # (P,21) candidate rotation
-    # cand (e,k) vs placed slot f: d = cand_center - placed_center
-    d = coords[:, :, None, :] - s.entry_center[None, None, :, :]
-    dx, dy = d[..., 0], d[..., 1]              # (P,21,P)
-    inr = ((jnp.abs(dx) <= _OVL_DMAX) & (jnp.abs(dy) <= _OVL_DMAX)
-           & (jnp.arange(MAX_PLACED)[None, None, :] < s.n_entries))
-    idx = (((nsize * 6 + crot[:, :, None]) * 3 + psize[None, None, :]) * 6
-           + s.entry_rot[None, None, :]) * _OVL_ND \
-        + jnp.clip(dx + _OVL_DMAX, 0, _OVL_ND - 1)
-    w = _OVL_TBL[idx.reshape(-1)].reshape(MAX_PLACED, 21, MAX_PLACED)
-    hit = inr & (((w >> jnp.clip(dy + _OVL_DMAX, 0, 31)) & 1) > 0)
-    overlap = jnp.any(hit, axis=-1)            # (P,21)
+    cbase = (nsize * 6 + crot) * 3             # (P,21) partial table index
+
+    def slot_overlap(f, over):
+        # cand (e,k) vs placed slot f: d = cand_center - placed_center
+        d = coords - s.entry_center[f]         # (P,21,2)
+        dx, dy = d[..., 0], d[..., 1]
+        inr = (jnp.abs(dx) <= _OVL_DMAX) & (jnp.abs(dy) <= _OVL_DMAX)
+        idx = ((cbase + psize[f]) * 6 + s.entry_rot[f]) * _OVL_ND \
+            + jnp.clip(dx + _OVL_DMAX, 0, _OVL_ND - 1)
+        w = _OVL_TBL[idx.reshape(-1)].reshape(MAX_PLACED, 21)
+        hit = inr & (((w >> jnp.clip(dy + _OVL_DMAX, 0, 31)) & 1) > 0)
+        return over | hit
+
+    # dynamic bound: gathered volume scales with LIVE entries (a 3-piece
+    # map has <= 6 of MAX_PLACED=16 slots); the static (16,21,16) cube
+    # form pays 16/n_e more gather tax (9 ms/trip at 128 envs, measured)
+    overlap = jax.lax.fori_loop(0, s.n_entries, slot_overlap,
+                                jnp.zeros((MAX_PLACED, 21), bool))
     ok = live & ~overlap
 
     flat_ok = ok.reshape(-1)

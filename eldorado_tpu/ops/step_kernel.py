@@ -198,7 +198,13 @@ def _eval_kernel(plan, block, inline_consts, hoisted, *args):
             a = _align_eltwise(invals, inbat, eqn)
             out = [prim.bind(*a, **params).astype(_i32)]
         elif name == "not":
-            out = [invals[0] ^ 1]
+            # bool-free convention: a BOOL not is x ^ 1 on its i32 0/1
+            # carrier; a genuine integer not is the bitwise complement
+            # (the packed-mask word algebra uses ~word)
+            if eqn.in_avals[0].dtype == jnp.bool_:
+                out = [invals[0] ^ 1]
+            else:
+                out = [~invals[0]]
         elif name == "select_n" and eqn.in_avals[0].dtype == jnp.bool_:
             a = _align_eltwise(invals, inbat, eqn)
             out = [prim.bind(a[0] != 0, *a[1:], **params)]

@@ -36,7 +36,7 @@ def _masks(s, mask_src):
     if mask_src == "storage":
         return E.unpack_mask(jnp.take_along_axis(
             s.storage_masks, s.agent[:, None, None], axis=1)[:, 0])
-    return s.sel_mask
+    return E.unpack_mask(s.sel_mask)
 
 
 def _local_rollout_body(s, rngs, mask_src):

@@ -124,7 +124,7 @@ def _active_mask(states, mask_src: str):
         return E.unpack_mask(jnp.take_along_axis(
             states.storage_masks, states.agent[:, None, None],
             axis=1)[:, 0])
-    return states.sel_mask
+    return E.unpack_mask(states.sel_mask)
 
 
 @jax.jit
@@ -736,7 +736,7 @@ class VecEnv:
 
     @property
     def selected_action_masks(self):
-        return self.states.sel_mask
+        return E.unpack_mask(self.states.sel_mask)
 
     @property
     def agent_selection(self):

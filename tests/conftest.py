@@ -9,6 +9,19 @@ already-initialized backends, and let the CPU client re-initialize lazily
 with the virtual-device flag.
 """
 import os
+import resource
+
+# The XLA CPU compiler's recursive passes can overflow the default 8 MB
+# main-thread stack when compiling the largest fused programs (the
+# shard_map'd rollout scan) late in a long single-process suite —
+# observed as a deterministic SIGSEGV/SIGABRT inside
+# backend_compile_and_load. Linux grows the main stack on demand up to
+# RLIMIT_STACK, so raising the soft limit to the hard limit prevents it.
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ValueError, OSError):
+    pass
 
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -31,6 +44,34 @@ _xb._clear_backends()
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running parity replays")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_cpu_client_state():
+    """Drop compiled executables between test MODULES.
+
+    A single long pytest process accumulates hundreds of XLA CPU
+    executables; past a threshold the CPU client's compiler begins to
+    SIGSEGV/SIGABRT on otherwise-fine programs (observed twice at
+    different, individually-green compile sites; every module passes in
+    its own process). Clearing JAX's in-memory caches per module bounds
+    that state — recompiles across modules come from the on-disk
+    compilation cache, so the cost is seconds."""
+    yield
+    import jax
+
+    jax.clear_caches()
+    # module-level caches holding compiled programs
+    from eldorado_tpu import vec as _vec
+    from eldorado_tpu.parallel import runner as _runner
+    _vec._KERNEL_CACHE.clear()
+    _runner._sharded_kernel_programs.cache_clear()
+    _runner._build_rollout.cache_clear()
+    _runner._build_sample.cache_clear()
+    _runner._build_step.cache_clear()
 
 
 def pytest_collection_modifyitems(config, items):

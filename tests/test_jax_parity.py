@@ -47,8 +47,8 @@ def parity_rollout(seed, samp_seed, n_players, n_pieces, diff, max_steps, T,
 
     def body(carry, _):
         s, rng = carry
-        src = (E.unpack_mask(s.storage_masks[s.agent]) if mask_src
-               else s.sel_mask)
+        src = E.unpack_mask(s.storage_masks[s.agent] if mask_src
+                            else s.sel_mask)
         act, rng, tainted = E.sample_action(rng, src)
         s = E.step_env(s, act)
         s = s._replace(rng_tainted=s.rng_tainted | tainted)
@@ -58,7 +58,7 @@ def parity_rollout(seed, samp_seed, n_players, n_pieces, diff, max_steps, T,
             "actions": act.astype(jnp.uint8), "done": done,
             "agent": s.agent, "phase": s.phase, "rewards": s.rewards,
             "resources": s.resources, "shop": s.shop_stock, "piles": s.piles,
-            "sel_mask": s.sel_mask,
+            "sel_mask": E.unpack_mask(s.sel_mask),
             "storage_masks": E.unpack_mask(s.storage_masks),
             "info_total": s.info_total, "info_steps": s.info_steps,
             "info_returns": s.info_returns,
@@ -98,7 +98,7 @@ def test_jax_trajectory_matches_oracle(name, mask_src, max_steps, limit,
         lambda: parity_rollout(es, ss, n_players, n_pieces, diff, max_steps,
                                T, mask_src, with_map))()
     assert np.array_equal(np.asarray(s0.map_obs), d["map0"])
-    assert np.array_equal(np.asarray(s0.sel_mask).astype(np.uint8), d["sel0"])
+    assert np.array_equal(np.asarray(E.unpack_mask(s0.sel_mask)).astype(np.uint8), d["sel0"])
     assert np.array_equal(
         np.asarray(E.unpack_mask(s0.storage_masks)).astype(np.uint8),
         d["storage0"])

@@ -106,11 +106,14 @@ def test_runner_contract_and_no_retrace(mesh8):
         runner.step_sync()
     assert R._trace_count[0] == before, "repeat step/sample retraced"
 
-    stats = runner.rollout(10)
+    # STEPS reuses the program test_sharded_rollout_matches_single_device
+    # already built — the fused scan is the suite's biggest compile and
+    # building a second length here adds nothing to the contract check
+    stats = runner.rollout(STEPS)
     before = R._trace_count[0]
-    runner.rollout(10)
+    runner.rollout(STEPS)
     assert R._trace_count[0] == before, "repeat rollout retraced"
-    assert int(stats["steps"]) == 10
+    assert int(stats["steps"]) == STEPS
 
 
 def test_runner_matches_vec_env(mesh8):

@@ -31,13 +31,25 @@ states = vec.vec_reset(5, envs, 4, 3, 0, 100000)
 rngs = vec.sampler_init(11, envs)
 ss = M.shard_envs(states, mesh)
 rs = jax.device_put(rngs, M.env_sharding(mesh))
-out = R.sharded_rollout(mesh, ss, rs, steps)   # compile+warm
+backend = sys.argv[4] if len(sys.argv) > 4 else "xla"
+if backend == "kernel":
+    # per-shard blocked Pallas scans + queued resets (interpret off-TPU)
+    interpret = jax.devices()[0].platform != "tpu"
+    block = min(8, envs // nd)
+    def go():
+        return R.sharded_kernel_rollout(mesh, states, rngs, steps,
+                                        chunk=steps, block=block,
+                                        interpret=interpret)
+else:
+    def go():
+        return R.sharded_rollout(mesh, ss, rs, steps)
+out = go()   # compile+warm
 jax.block_until_ready(out[0].rng)
 t0 = time.perf_counter()
-out = R.sharded_rollout(mesh, ss, rs, steps)
+out = go()
 jax.block_until_ready(out[0].rng)
 dt = time.perf_counter() - t0
-print(json.dumps({"devices": nd, "envs": envs,
+print(json.dumps({"devices": nd, "envs": envs, "backend": backend,
                   "steps_per_sec": envs * steps / dt}))
 """
 
@@ -46,6 +58,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs-per-dev", type=int, default=64)
     ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--backend", choices=["xla", "kernel"], default="xla")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rows = []
@@ -60,7 +73,8 @@ def main():
                        os.path.join(repo, ".jax_cache"))
         out = subprocess.run(
             [sys.executable, "-c", WORKER.replace("REPO_PATH", repr(repo)),
-             str(nd), str(nd * args.envs_per_dev), str(args.steps)],
+             str(nd), str(nd * args.envs_per_dev), str(args.steps),
+             args.backend],
             env=env, capture_output=True, text=True, timeout=1200)
         line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
         try:

@@ -3,8 +3,10 @@
 
 Everything (make_state + reset_env incl. procgen) runs inside ONE jitted
 program per width — eager per-op dispatch over the network-tunnelled
-device costs ~ms per op and would swamp the measurement otherwise.
-This is the denominator of the exact same-step auto-reset mode.
+device costs ~ms per op and would swamp the measurement otherwise — and
+every timed call gets FRESH seeds with a per-call block: the axon tunnel
+memoises repeated identical (executable, input) calls, which makes naive
+timing loops read ~100x too fast.
 """
 import os
 import sys
@@ -22,20 +24,21 @@ from eldorado_tpu.core import mapgen as MG  # noqa: E402
 from eldorado_tpu.ops import rng as R  # noqa: E402
 
 
-def bench(f, x, iters=20):
-    o = f(x)
+def bench(f, q, iters=8):
+    o = f(jnp.arange(q, dtype=jnp.uint32) + 1000)
     jax.block_until_ready(o)
-    t0 = time.time()
-    for _ in range(iters):
-        o = f(x)
-    jax.block_until_ready(o)
-    return (time.time() - t0) / iters
+    ts = []
+    for i in range(iters):
+        seeds = jnp.arange(q, dtype=jnp.uint32) + 2000 + 131 * i
+        t0 = time.time()
+        o = f(seeds)
+        jax.block_until_ready(o)
+        ts.append(time.time() - t0)
+    return sorted(ts)[len(ts) // 2]
 
 
 def main(n_pieces=3):
     for q in (1, 8, 32, 128):
-        seeds = jnp.arange(q, dtype=jnp.uint32) + 1000
-
         @jax.jit
         def full_reset(seeds):
             make = jax.vmap(
@@ -47,8 +50,8 @@ def main(n_pieces=3):
             rngs = jax.vmap(R.seed)(seeds)
             return jax.vmap(lambda r: MG.generate_map(r, n_pieces, 0))(rngs)
 
-        t_gen = bench(gen_only, seeds)
-        t_full = bench(full_reset, seeds)
+        t_gen = bench(gen_only, q)
+        t_full = bench(full_reset, q)
         print(f"Q={q:4d} n_pieces={n_pieces}: generate_map "
               f"{t_gen*1e3:7.2f} ms   full reset {t_full*1e3:7.2f} ms "
               f"({t_full/q*1e6:7.1f} us/env)")
