@@ -133,7 +133,7 @@ class _ShardedKernelPrograms:
     """shard_map-wrapped versions of one local-shape _KernelPrograms."""
 
     def __init__(self, mesh: Mesh, n: int, mask_src: str, block: int,
-                 interpret: bool):
+                 interpret: bool, gate_dead: bool = False):
         from .. import vec as V
         n_dev = int(mesh.devices.size)
         assert n % n_dev == 0, (n, n_dev)
@@ -142,7 +142,8 @@ class _ShardedKernelPrograms:
         assert n_local % block == 0, (n_local, block)
         template = jax.vmap(lambda s: E.make_state(s))(
             jnp.arange(n_local, dtype=jnp.uint32))
-        progs = V._kernel_programs(template, mask_src, block, interpret)
+        progs = V._kernel_programs(template, mask_src, block, interpret,
+                                   gate_dead)
         self.local = progs
         self.mesh = mesh
         self.n = n
@@ -227,25 +228,36 @@ class _ShardedKernelPrograms:
 
 @functools.lru_cache(maxsize=None)
 def _sharded_kernel_programs(mesh: Mesh, n: int, mask_src: str, block: int,
-                             interpret: bool) -> _ShardedKernelPrograms:
-    return _ShardedKernelPrograms(mesh, n, mask_src, block, interpret)
+                             interpret: bool,
+                             gate_dead: bool = False
+                             ) -> _ShardedKernelPrograms:
+    return _ShardedKernelPrograms(mesh, n, mask_src, block, interpret,
+                                  gate_dead)
 
 
 def sharded_kernel_rollout(mesh: Mesh, states, sampler_rngs, n_steps: int,
                            chunk: int = 1500, mask_src: str = "storage",
-                           block: int = 512, interpret: bool = False):
+                           block: int = 512, interpret: bool = False,
+                           exact: bool = False):
     """vec.rollout_chunked(backend="kernel", reset_mode="sync") over a
     device mesh: per-shard blocked kernel scans with on-device queued
     auto-resets at chunk boundaries. Returns (states, sampler_rngs,
     episodes). Same observable semantics as the single-device kernel
     path (bit-identical when per-boundary finishers fit the queues —
-    asserted in tests/test_parallel.py)."""
+    asserted in tests/test_parallel.py).
+
+    ``exact=True`` freezes finished envs completely (no sampler draws on
+    dead steps), making per-env trajectories bit-exact vs the
+    reference's continuous same-step auto-reset streams, and returns
+    (states, sampler_rngs, episodes, dead_steps) — the multi-chip form
+    of vec.rollout_chunked(exact=True)."""
     import numpy as np
     from ..errors import GenerateMapFailure, MapCapacityError
     from ..vec import reset_done_bucketed
 
     n = int(states.rng.shape[0])
-    progs = _sharded_kernel_programs(mesh, n, mask_src, block, interpret)
+    progs = _sharded_kernel_programs(mesh, n, mask_src, block, interpret,
+                                     exact)
     sh = env_sharding(mesh)
     states = shard_envs(states, mesh)
     sampler_rngs = jax.device_put(sampler_rngs, sh)
@@ -272,6 +284,8 @@ def sharded_kernel_rollout(mesh: Mesh, states, sampler_rngs, n_steps: int,
         states, k = reset_done_bucketed(states)
         episodes += k
         states = shard_envs(states, mesh)
+    if exact:
+        return states, sampler_rngs, episodes, int(counters[3])
     return states, sampler_rngs, episodes
 
 

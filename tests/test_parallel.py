@@ -79,6 +79,28 @@ def test_sharded_kernel_rollout_matches_single_device():
                               np.asarray(getattr(su, name))), name
 
 
+def test_sharded_exact_matches_single_device():
+    """exact mode (frozen finishers, dead-step accounting) over the mesh
+    == the single-device exact path, bit for bit, including the
+    dead-step count."""
+    mesh4 = M.make_mesh(4)
+    N2 = 32
+    states = vec.vec_reset(5, N2, 4, 2, 0, 10)
+    rngs = vec.sampler_init(11, N2)
+    ss, rs, eps, dead = R.sharded_kernel_rollout(
+        mesh4, states, rngs, 60, chunk=10, block=8, interpret=True,
+        exact=True)
+    su, ru, eps_u, dead_u = vec.rollout_chunked(
+        states, rngs, 60, chunk=10, backend="kernel", block=8,
+        interpret=True, exact=True)
+    assert eps == eps_u > 0
+    assert dead == dead_u > 0
+    assert np.array_equal(np.asarray(rs), np.asarray(ru))
+    for name in E.EnvState._fields:
+        assert np.array_equal(np.asarray(getattr(ss, name)),
+                              np.asarray(getattr(su, name))), name
+
+
 def test_runner_rollout_chunked():
     mesh4 = M.make_mesh(4)
     runner = R.ShardedRunner(mesh4, 32)
