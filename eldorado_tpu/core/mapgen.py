@@ -26,9 +26,9 @@ Geometry is doubled-integer axial (see core/tables.py); all work is int32.
 Overlap testing is the reference's exact point-set semantics via a static
 pairwise (size, rot, size, rot, center-delta) bit table — no occupancy
 raster, no grid bounds, no empirical coordinate margins. The only fixed
-capacity is MAX_PLACED = 16 piece slots (12 observed worst case; 16*37 hex
-slots follow from it). Overflow sets ``ok`` False rather than corrupting
-state.
+capacity is the MAX_PLACED piece-slot budget (see its comment below; the
+hex-slot budget follows from it). Overflow sets ``ok`` False rather than
+corrupting state.
 """
 from __future__ import annotations
 
