@@ -54,6 +54,23 @@ def test_docs_have_snippets():
     assert len(_BLOCKS) >= 7, "doc snippets went missing"
 
 
+def test_api_md_fresh():
+    """docs/api.md must match the generator output (CI gate, run locally).
+
+    Round-3 verdict W3: a docstring edit landed without regenerating
+    docs/api.md, turning CI red at HEAD. Running the same freshness check
+    in the normal test lane makes `pytest` catch it before commit.
+    """
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "gen_api_docs", ROOT / "tools" / "gen_api_docs.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    current = (ROOT / "docs" / "api.md").read_text()
+    assert current == mod.generate(), \
+        "docs/api.md is stale: run python tools/gen_api_docs.py"
+
+
 @pytest.mark.parametrize("fname,code", _BLOCKS)
 def test_doc_snippet_runs(fname, code, monkeypatch):
     if "native.TrajectoryRing" in code:
