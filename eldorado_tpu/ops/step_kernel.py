@@ -323,11 +323,13 @@ def _eval_kernel(plan, block, inline_consts, hoisted, *args):
 
 def make_fused_step(states, mask_src: str = "storage", block: int = 256,
                     interpret: bool = False, debug: bool = False,
-                    gate_dead: bool = False):
+                    gate_dead: bool = False, null_body: bool = False):
     """Build a (states, srngs) -> (states, srngs, actions) fused step for
     this batch shape. ``block`` envs per kernel instance (grid over
     N/block). ``gate_dead`` freezes done envs' sampler streams
-    (engine.fused_sample_step)."""
+    (engine.fused_sample_step). ``null_body`` replaces the step logic with
+    input->output copies (identical I/O shape): the launch+DMA floor,
+    used by tools/tpu_true_step_cost.py to split compute from I/O."""
     n = int(states.rng.shape[0])
     block = min(block, n)
     assert n % block == 0, (n, block)
@@ -381,6 +383,13 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
         ins = refs[:n_in]
         crefs = refs[n_in:n_in + len(uniq)]
         outs = refs[n_in + len(uniq):]
+        if null_body:
+            # I/O floor probe: copy dyn leaves + srng through, zero actions
+            for r, src in zip(outs[:n_dyn + 1], ins[:n_dyn + 1]):
+                r[...] = src[...]
+            outs[n_dyn + 1][...] = jnp.zeros(
+                outs[n_dyn + 1].shape, jnp.int32)
+            return
         # boolfree convention: bool leaves stay i32 0/1 through the whole
         # jaxpr evaluation (see _eval_kernel) — no i1 loads/stores at all.
         vals = []
