@@ -236,6 +236,14 @@ class EnvState(NamedTuple):
     # masks (both bit-packed; unpack_mask at API boundaries)
     sel_mask: jnp.ndarray       # (3,) i32 packed words (pack_mask)
     storage_masks: jnp.ndarray  # (4,3) i32 packed rows (pack_mask)
+    # per-player packed one-hop words (pack_ball_words w3 layout): player
+    # j's six 1-hop cell-type ids + own is_end AT THEIR CURRENT POSITION.
+    # Maintained by reset (w3_words_all) and by step (the current agent's
+    # row refreshes from the pregathered ball every step, and a player's
+    # position only changes on their own turn, so rows are never stale
+    # when read). Lets the rollout's per-step map read be ONE row gather
+    # at the agent's cell instead of a second gather at the next agent's.
+    w3_cache: jnp.ndarray       # (4,) i32
     # outputs (persist across resets)
     rewards: jnp.ndarray        # (4,) f32
     info_total: jnp.ndarray     # i32
@@ -448,6 +456,7 @@ def make_state(seed=0, n_players=4, n_pieces=3, difficulty=0,
         turn_counter=jnp.asarray(0, _i32), done=jnp.bool_(False),
         sel_mask=pack_mask(init_mask()),
         storage_masks=jnp.tile(pack_mask(init_mask())[None], (4, 1)),
+        w3_cache=jnp.zeros(4, _i32),
         rewards=jnp.zeros(4, _f32),
         info_total=jnp.asarray(0, _i32), info_steps=z4u8,
         info_returns=jnp.zeros(4, _f32), info_travelled=jnp.zeros(4, _i32),
@@ -819,12 +828,18 @@ def _decode_cells(ids):
     return req, nr, (_END_L >> ids) & 1
 
 
-def pack_ball_words(pids, qids, qend0):
+def pack_ball_words(pids, pend0):
     """Pack one step's map read into 4 i32 words: p's 19 ball-cell ids at
     bits [5k, 5k+5) of the little-endian 96-bit w0..w2 field (cells 6 and
-    12 straddle word boundaries), q's six 1-hop ids (``qids`` indices
-    1..6 — the unit directions lead the _BALL order) at w3 bits
-    [5(i-1), 5i), and q's own is_end at w3 bit 30."""
+    12 straddle word boundaries), and p's OWN one-hop word w3: the six
+    1-hop ids (``pids`` indices 1..6 — the unit directions lead the _BALL
+    order) at w3 bits [5(i-1), 5i) plus p's own is_end at w3 bit 30.
+
+    w3 is the w3_cache row format: the step refreshes the current agent's
+    cache row with it and reads the NEXT agent's one-hop data from the
+    cache (their row was refreshed on their own last step — positions
+    only change on a player's own turn), so rollout drivers gather ONE
+    contiguous 4-word row per env per step (pack_ball_word_table)."""
     ws = []
     for j in range(3):
         w = jnp.zeros_like(pids[..., 0])
@@ -834,10 +849,15 @@ def pack_ball_words(pids, qids, qend0):
                 idk = pids[..., k]
                 w = w | (idk << lo if lo >= 0 else idk >> -lo)
         ws.append(w)
-    w3 = qend0 << 30
+    # accumulate the six id fields FIRST and fold the end bit in LAST:
+    # seeding the or-chain with (end << 30) triggers an XLA wrong-code
+    # bug (jax 0.9.0, BOTH cpu and tpu backends) that silently drops the
+    # <<20 term under jit (minimal repro + canary:
+    # tests/test_ball_words.py::test_w3_fold_jit_parity)
+    w3 = jnp.zeros_like(pids[..., 0])
     for i in range(6):
-        w3 = w3 | (qids[..., 1 + i] << (5 * i))
-    return ws[0], ws[1], ws[2], w3
+        w3 = w3 | (pids[..., 1 + i] << (5 * i))
+    return ws[0], ws[1], ws[2], w3 | (pend0 << 30)
 
 
 def _ball_p_ids(w0, w1, w2):
@@ -856,11 +876,11 @@ def _ball_p_ids(w0, w1, w2):
 
 
 def _ball_q_row(w3):
-    """Next-agent pseudo ball row from the packed q word: real values at
-    the six 1-hop indices (all the rotated mask rebuild reads,
-    kidx = _PAIR[0][1:] = 1..6) plus q's own is_end at index 0 (the
-    rotated done check's only read, k0 = _PAIR[0][0] = 0); sentinel
-    elsewhere."""
+    """Next-agent pseudo ball row from their packed one-hop word
+    (w3_cache row): real values at the six 1-hop indices (all the rotated
+    mask rebuild reads, kidx = _PAIR[0][1:] = 1..6) plus q's own is_end
+    at index 0 (the rotated done check's only read, k0 = _PAIR[0][0] =
+    0); sentinel elsewhere."""
     qids = jnp.stack([(w3 >> (5 * i)) & 31 for i in range(6)], axis=-1)
     req6, nr6, end6 = _decode_cells(qids)
     end0 = jnp.reshape((w3 >> 30) & 1, (1,))
@@ -874,29 +894,43 @@ def _ball_q_row(w3):
 
 def ball_words(s: EnvState):
     """The step's ENTIRE map read, packed into 4 i32 words (see
-    pack_ball_words): the current agent p's 19-cell 2-hop ball plus the
-    next agent q = (p+1) % n_players's 6 one-hop cells and own end flag.
-    Only those two rows of the (4, 19) pregather are ever consumed by
-    the step (_step_from_view), so rollout drivers gather 4 words/env
-    instead of 76 cells. Single-env; vmap for batches."""
+    pack_ball_words): the current agent p's 19-cell 2-hop ball (w0..w2)
+    plus p's own one-hop word (w3, the w3_cache row format). The next
+    agent's one-hop data comes from s.w3_cache inside the step, so only
+    ONE player's row of the (4, 19) pregather is consumed — rollout
+    drivers gather one contiguous 4-word row per env per step
+    (pack_ball_word_table). Single-env; vmap for batches."""
     req, nr, end = _ball_cells(s)                              # (4, 19)
     ids = cell_type_ids(req, nr, end)
     p = s.agent
-    q = jnp.where(p + 1 >= s.n_players, 0, p + 1)
     oh_p = _oh(p, _IOTA4[:, None])
-    oh_q = _oh(q, _IOTA4[:, None])
     pids = jnp.max(jnp.where(oh_p, ids, 0), axis=0)            # (19,)
-    qids = jnp.max(jnp.where(oh_q, ids, 0), axis=0)
-    qend0 = jnp.max(jnp.where(oh_q[:, 0], end[:, 0], 0))
-    return pack_ball_words(pids, qids, qend0)
+    pend0 = jnp.max(jnp.where(oh_p[:, 0], end[:, 0], 0))
+    return pack_ball_words(pids, pend0)
+
+
+def w3_words_all(s: EnvState):
+    """Every player's packed one-hop word at their current position —
+    the w3_cache contents (see pack_ball_words). Reset-path helper;
+    single-env, vmap for batches."""
+    req, nr, end = _ball_cells(s)                              # (4, 19)
+    ids = cell_type_ids(req, nr, end)
+    # id fields first, end bit last (XLA fold bug — see pack_ball_words)
+    w3 = jnp.zeros_like(ids[:, 0])
+    for i in range(6):
+        w3 = w3 | (ids[:, 1 + i] << (5 * i))
+    return w3 | (end[:, 0] << 30)                              # (4,)
 
 
 def pack_ball_word_table(map_obs):
-    """(48,48,7) map obs -> four flat (2304,) i32 word planes: for every
-    grid cell c, exactly ball_words' payload for a player standing at c —
-    w0..w2 the 19-cell ball ids, w3 the six 1-hop ids + own is_end (w3 is
-    gathered at the NEXT agent's cell; its per-cell layout is
-    position-independent).
+    """(48,48,7) map obs -> (2304, 4) i32 cell-major rows: row c is
+    exactly ball_words' payload for a player standing at cell c — w0..w2
+    the 19-cell ball ids, w3 the six 1-hop ids + own is_end (the
+    w3_cache row format). Cell-major rows let the rollout read the whole
+    step's map dependence as ONE contiguous-row gather per env: XLA TPU
+    row gathers cost ~12 ns per ROW nearly independent of row width,
+    vs ~13 ns per ELEMENT for scalar-element gathers (4x, measured —
+    tools/tpu_gather_model.py).
 
     Stencil construction: every _BALL offset is even in both doubled
     coordinates and every hex in a connected map shares both coordinate
@@ -907,9 +941,11 @@ def pack_ball_word_table(map_obs):
     id 0 = (5,0,0), which equals the never-rasterised border rows'
     value, so the table matches _ball_cells for every in-grid centre.
 
-    The words accumulate plane-by-plane (never a (..., 19) or (..., 4)
-    stacked array): small trailing dims pad to 128-lane tiles on TPU —
-    a stacked (n, 2304, 4) table cost 18 GB of HLO temps at 4096 envs.
+    The WORDS accumulate plane-by-plane (never a (..., 19) stacked array
+    of raw ids: small trailing dims in elementwise HLO pad to 128-lane
+    vector tiles — a stacked id table cost 18 GB of HLO temps at 4096
+    envs in an earlier layout). The final (2304, 4) stack is a stored
+    array, laid out compactly in HBM (verified by bandwidth probe).
     Single-env; vmap for batches."""
     cell = map_obs.astype(_i32)                                # (48,48,7)
     reqch = cell[..., 1:6]
@@ -934,10 +970,12 @@ def pack_ball_word_table(map_obs):
                 pk = plane(k)
                 w = w | (pk << lo if lo >= 0 else pk >> -lo)
         ws.append(w.reshape(-1))
-    w3 = end << 30
+    # id fields first, end bit last (XLA fold bug — see pack_ball_words)
+    w3 = jnp.zeros((GRIDSIZE, GRIDSIZE), _i32)
     for i in range(6):
         w3 = w3 | (plane(1 + i) << (5 * i))
-    return ws[0], ws[1], ws[2], w3.reshape(-1)
+    w3 = w3 | (end << 30)
+    return jnp.stack([ws[0], ws[1], ws[2], w3.reshape(-1)], axis=-1)
 
 
 def _ball_at_p(ball_p, k):
@@ -1068,7 +1106,8 @@ def reset_env(s: EnvState) -> EnvState:
         return _select(p < s.n_players, _update_observation(s, p), s)
     s = jax.lax.fori_loop(0, MAX_N_PLAYERS, obody, s, unroll=True)
     return s._replace(
-        sel_mask=_wrow(s.storage_masks, s.agent))
+        sel_mask=_wrow(s.storage_masks, s.agent),
+        w3_cache=w3_words_all(s))
 
 
 def reset_env_full(s: EnvState, seed, n_players, n_pieces, difficulty,
@@ -1233,8 +1272,15 @@ def _step_from_view(s0: EnvState, s: EnvState, v: "PView", p, action,
     action = jnp.asarray(action, _i32)
     a_play, a_sp, a_rm, a_mv, a_shop = (action[i] for i in range(5))
     one8 = jnp.asarray(1, _u8)
-    w0, w1, w2, w3 = ball
+    w0, w1, w2, w3p = ball
     ball_p = _decode_cells(_ball_p_ids(w0, w1, w2))
+    # refresh the agent's cached one-hop word (their current position's
+    # row, pregathered), then read the next agent's from the cache —
+    # fresh by construction: a row only goes stale when its player moves,
+    # and a mover's row is refreshed at their next action step before any
+    # read (rotation away from a mover only happens on a winning step,
+    # which ends the episode). q == p (1-player) reads the fresh row.
+    w3_cache = jnp.where(_oh(p, _IOTA4), w3p, s.w3_cache)
 
     b_play = a_play > 0
     b_special = (a_play == 0) & (a_sp > 0)
@@ -1402,7 +1448,7 @@ def _step_from_view(s0: EnvState, s: EnvState, v: "PView", p, action,
     storage_r = jnp.where(rot_other, row_q, storage_r)
     n_active_r = jnp.where(rot_other, _get1(s.n_active, q, _IOTA4),
                            v.n_active)
-    ball_q = _ball_q_row(w3)
+    ball_q = _ball_q_row(jnp.sum(jnp.where(_oh(q, _IOTA4), w3_cache, 0)))
     ball_r = jax.tree_util.tree_map(
         lambda a, b: jnp.where(rotate, b, a), ball_p, ball_q)
     # position delta for the current agent within this step: only a
@@ -1427,7 +1473,8 @@ def _step_from_view(s0: EnvState, s: EnvState, v: "PView", p, action,
     s = s._replace(
         storage_masks=_put_row(s.storage_masks, r_idx, mask_r_final),
         agent=r_idx,
-        turn_counter=s.turn_counter + rotate.astype(_i32))
+        turn_counter=s.turn_counter + rotate.astype(_i32),
+        w3_cache=w3_cache)
 
     # done check (src/environment.cpp:187-207)
     k0 = jnp.max(jnp.where(_oh(m_eff, np.arange(7)), _PAIR[:, 0], 0))

@@ -13,9 +13,10 @@ Design:
   the engine is already written in (the engine deliberately avoids
   scatter/gather/cumsum; see engine.py docstring).
 * Map reads are engine.ball_words' 4 packed i32 words (the current
-  agent's 19-cell 2-hop ball + the next agent's 1-hop cells, 5-bit
-  cell-type ids), gathered by XLA before the kernel from the current
-  positions. The kernel never sees the 48x48x7 map.
+  agent's 19-cell 2-hop ball + their own 1-hop word, 5-bit cell-type
+  ids; the next agent's 1-hop data rides the in-state w3_cache),
+  gathered by XLA before the kernel as ONE contiguous table row at the
+  agent's cell. The kernel never sees the 48x48x7 map.
 * All dynamic state leaves are reshaped to (N, F) 2-D buffers and blocked
   over the env axis; the only step-static env inputs are n_players /
   max_steps. Every table/iota constant the traced logic closes over is
@@ -70,9 +71,10 @@ def _step_values(feat, mask_src, gate_dead, *flat):
     dyn = list(flat[:n_dyn])
     srng = flat[n_dyn]
     # the map read arrives as engine.ball_words' 4 packed i32 words per
-    # env (current agent's 19-cell ball + next agent's 1-hop cells as
-    # 5-bit type ids): the rollout's two flat gathers feed the kernel
-    # directly, and the engine decodes with static shifts/masks
+    # env (current agent's 19-cell ball + their own 1-hop word; the next
+    # agent's 1-hop data rides the in-state w3_cache): the rollout's
+    # single row gather feeds the kernel directly, and the engine
+    # decodes with static shifts/masks
     ball = tuple(flat[n_dyn + 1:n_dyn + 5])
     n_players = flat[n_dyn + 5]
     max_steps = flat[n_dyn + 6]

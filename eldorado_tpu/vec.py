@@ -268,10 +268,11 @@ class _KernelPrograms:
             bparams = jnp.stack(
                 [states.n_players, states.n_pieces, states.difficulty,
                  states.max_steps], axis=-1)           # (n, 4) reset params
-            # the four word planes ride CONCATENATED (n, 4*2304) so the
-            # scan body issues ONE gather per step (word w of cell c =
-            # column w*2304 + c); per-gather-op overhead is ~20-40 us
-            bctx = (jnp.concatenate(tabs, axis=1),
+            # cell-major (n, 2304, 4) rows: the scan body reads the whole
+            # step's map dependence as ONE contiguous-row gather at the
+            # agent's cell (~12 ns/row vs ~13 ns/element for the old
+            # 4-element scalar gather — tools/tpu_gather_model.py)
+            bctx = (tabs,
                     t_in(states.min_xy), t_in(states.n_players),
                     t_in(states.max_steps), bparams)
             bdyn = tuple(
@@ -282,17 +283,18 @@ class _KernelPrograms:
         block_in = jax.jit(_block_in)
 
         def _scan(bctx, bdyn, brngs, n_steps, want_traj):
-            # The per-step map read is TWO flat gathers totalling 4 words
-            # per env (engine.ball_words via pack_ball_word_table): the
-            # agent's packed 19-cell ball (3 words) and the next agent's
-            # 1-hop word. XLA dependent-gathers cost ~9-14 ns/element on
-            # TPU regardless of op shape, so gathered volume is the
-            # rollout's wall; indices stay rank-3 (rank>=4 index shapes
-            # degrade another ~100x, measured).
+            # The per-step map read is ONE contiguous-row gather of the
+            # agent's 4-word table row (engine.pack_ball_word_table):
+            # XLA TPU row gathers cost ~12 ns/row nearly independent of
+            # width, vs ~13 ns/ELEMENT for scalar-element gathers — one
+            # (n,)-row gather is ~4x cheaper than the 4-element form
+            # (tools/tpu_gather_model.py). The next agent's one-hop word
+            # comes from the in-state w3_cache (engine.ball_words).
             tab, bmin, bnp, bms, _ = bctx
-            tab = tab.reshape(-1)                      # (n * 4 * GRID2,)
+            tab2 = tab.reshape(n * GRID2, 4)
+            nb = n // block
             ebase = t_in(jnp.arange(n, dtype=jnp.int32)
-                         * (4 * GRID2))[:, 0]
+                         * GRID2)[:, 0]
 
             def body(carry, _):
                 bdyn, brngs, dead = carry
@@ -302,8 +304,6 @@ class _KernelPrograms:
                 dead = dead + jnp.sum(bdyn[i_done])
                 bxy = bdyn[i_xy]                       # (nb, 4, 2, block)
                 a = bdyn[i_agent]                      # (nb, 1, block)
-                q = a + 1
-                q = jnp.where(q >= bnp, 0, q)
 
                 def cell_of(idx):
                     # idx (nb,1,block) player id -> flat grid cell of that
@@ -314,11 +314,9 @@ class _KernelPrograms:
                     return (jnp.clip(c[:, 0] * E.GRIDSIZE + c[:, 1],
                                      0, GRID2 - 1) + ebase)[:, None, :]
 
-                cp, cq = cell_of(a), cell_of(q)        # (nb, 1, block)
-                gidx = jnp.concatenate(
-                    [cp, cp + GRID2, cp + 2 * GRID2, cq + 3 * GRID2],
-                    axis=1)                            # (nb, 4, block)
-                g = tab.at[gidx].get(mode="promise_in_bounds")
+                rows = cell_of(a).reshape(n)           # env-order rows
+                g = tab2.at[rows].get(mode="promise_in_bounds")  # (n, 4)
+                g = jnp.moveaxis(g.reshape(nb, block, 4), -1, 1)
                 bball = (g[:, 0:1], g[:, 1:2], g[:, 2:3], g[:, 3:4])
                 bdyn, brngs, bact = fused.blocked(bdyn, brngs, bball,
                                                   bnp, bms)
@@ -503,9 +501,8 @@ class _KernelPrograms:
                 flat = x.reshape(-1).at[_col_idx(bi, lane, F)].set(
                     seg.astype(x.dtype), mode="drop")
                 new_bdyn.append(flat.reshape(x.shape))
-            trows = jax.vmap(E.pack_ball_word_table)(map_rows)
-            tab = tab.at[idxs].set(jnp.concatenate(trows, axis=1),
-                                   mode="drop")
+            trows = jax.vmap(E.pack_ball_word_table)(map_rows)  # (Q,2304,4)
+            tab = tab.at[idxs].set(trows, mode="drop")
             bmin = bmin.reshape(-1).at[_col_idx(bi, lane, 2)].set(
                 minxy, mode="drop").reshape(bmin.shape)
             inflight = inflight.reshape(-1).at[

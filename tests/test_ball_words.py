@@ -12,6 +12,31 @@ from eldorado_tpu import vec
 from eldorado_tpu.core import engine as E
 
 
+def test_w3_fold_jit_parity():
+    """Canary for an XLA wrong-code bug (jax 0.9.0, cpu AND tpu backends): an i32 or/sum fold SEEDED
+    with (end << 30) silently drops the << 20 term under jit(vmap) (jit
+    and eager disagree). The engine's w3 packers fold the id fields
+    first and OR the end bit last, which compiles correctly — this test
+    pins jit == eager for that formulation on random data."""
+    rng = np.random.default_rng(0)
+    pids = jnp.asarray(rng.integers(0, 32, (8, 19)), np.int32)
+    pend = jnp.asarray(rng.integers(0, 2, (8,)), np.int32)
+
+    def fold(pids, pend):
+        w3 = jnp.zeros_like(pids[..., 0])
+        for i in range(6):
+            w3 = w3 | (pids[..., 1 + i] << (5 * i))
+        return w3 | (pend << 30)
+
+    eager = np.asarray(jax.vmap(fold)(pids, pend))
+    jitted = np.asarray(jax.jit(jax.vmap(fold))(pids, pend))
+    want = np.asarray(pend) << 30
+    for i in range(6):
+        want = want | (np.asarray(pids)[:, 1 + i] << (5 * i))
+    assert (eager == want).all()
+    assert (jitted == want).all()
+
+
 def test_cell_type_codec_roundtrip():
     req, nr, end = (np.array(t) for t in zip(*E._CELL_TRIPLES))
     ids = np.asarray(E.cell_type_ids(req, nr, end))
@@ -40,26 +65,32 @@ def test_mask_word_packing_roundtrip():
 
 
 def test_ball_word_table_matches_ball_words():
-    """Gathering the table at the agents' cells == ball_words, for every
-    player role, across seeds/piece-counts (the stencil-equivalence
-    argument in pack_ball_word_table's docstring, verified)."""
+    """Gathering the table row at the agent's cell == ball_words, and the
+    w3 column at every player's cell == their w3_cache row, across
+    seeds/piece-counts (the stencil-equivalence argument in
+    pack_ball_word_table's docstring, verified)."""
     for seed, pieces, diff in [(9, 3, 1), (21, 5, 2)]:
         s = vec.vec_reset(seed, 8, 4, pieces, diff, 100000)
-        tabs = [np.asarray(t) for t in
-                jax.vmap(E.pack_ball_word_table)(s.map_obs)]
+        tabs = np.asarray(jax.vmap(E.pack_ball_word_table)(s.map_obs))
         words = [np.asarray(w) for w in jax.vmap(E.ball_words)(s)]
+        cache = np.asarray(s.w3_cache)
         agent = np.asarray(s.agent)
         npl = np.asarray(s.n_players)
-        q = np.where(agent + 1 >= npl, 0, agent + 1)
         xy = np.asarray(s.player_xy)
         mn = np.asarray(s.min_xy)
+
+        def cell(e, who):
+            d = xy[e, who] - mn[e]
+            return ((d[0] >> 1) + 1) * E.GRIDSIZE + ((d[1] >> 1) + 1)
+
         for e in range(8):
-            for w_i, who in [(0, agent[e]), (1, agent[e]),
-                             (2, agent[e]), (3, q[e])]:
-                d = xy[e, who] - mn[e]
-                cell = ((d[0] >> 1) + 1) * E.GRIDSIZE + ((d[1] >> 1) + 1)
-                assert tabs[w_i][e, cell] == words[w_i][e], \
-                    (seed, e, w_i, int(who))
+            c = cell(e, agent[e])
+            for w_i in range(4):
+                assert tabs[e, c, w_i] == words[w_i][e], (seed, e, w_i)
+            # reset filled every live player's w3_cache row with the
+            # table's w3 column at their position
+            for j in range(int(npl[e])):
+                assert cache[e, j] == tabs[e, cell(e, j), 3], (seed, e, j)
 
 
 def test_ball_words_decode_matches_ball_cells():
@@ -73,7 +104,10 @@ def test_ball_words_decode_matches_ball_cells():
     q = np.where(agent + 1 >= np.asarray(s.n_players), 0, agent + 1)
     pids = jax.vmap(E._ball_p_ids)(w[0], w[1], w[2])
     pr, pn, pe = (np.asarray(x) for x in E._decode_cells(pids))
-    qr, qn, qe = (np.asarray(x) for x in jax.vmap(E._ball_q_row)(w[3]))
+    # the next agent's pseudo row decodes from their w3_cache entry
+    w3q = jnp.take_along_axis(s.w3_cache, jnp.asarray(q)[:, None],
+                              axis=1)[:, 0]
+    qr, qn, qe = (np.asarray(x) for x in jax.vmap(E._ball_q_row)(w3q))
     for e in range(4):
         a = agent[e]
         assert (pr[e] == req[e, a]).all()

@@ -58,17 +58,15 @@ def main():
                            donate_argnums=(1, 2))
         def run(bctx, bdyn, brngs, n_steps):
             tab, bmin, bnp, bms, _ = bctx
-            tab = tab.reshape(-1)
-            ebase = t_in(jnp.arange(n, dtype=jnp.int32)
-                         * (4 * GRID2))[:, 0]
+            tab2 = tab.reshape(n * GRID2, 4)
+            nb = n // block
+            ebase = t_in(jnp.arange(n, dtype=jnp.int32) * GRID2)[:, 0]
 
             def body(carry, _):
                 bdyn, brngs = carry
                 if gather:
                     bxy = bdyn[i_xy]
                     a = bdyn[i_agent]
-                    q = a + 1
-                    q = jnp.where(q >= bnp, 0, q)
 
                     def cell_of(idx):
                         xy = sum(jnp.where(idx == j, bxy[:, j], 0)
@@ -77,11 +75,9 @@ def main():
                         return (jnp.clip(c[:, 0] * E.GRIDSIZE + c[:, 1],
                                          0, GRID2 - 1) + ebase)[:, None, :]
 
-                    cp, cq = cell_of(a), cell_of(q)
-                    gidx = jnp.concatenate(
-                        [cp, cp + GRID2, cp + 2 * GRID2, cq + 3 * GRID2],
-                        axis=1)
-                    g = tab.at[gidx].get(mode="promise_in_bounds")
+                    rows = cell_of(a).reshape(n)
+                    g = tab2.at[rows].get(mode="promise_in_bounds")
+                    g = jnp.moveaxis(g.reshape(nb, block, 4), -1, 1)
                     bball = (g[:, 0:1], g[:, 1:2], g[:, 2:3], g[:, 3:4])
                 else:
                     z = jnp.zeros_like(bdyn[i_agent])
