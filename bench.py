@@ -36,6 +36,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
 
+# --mesh N on a host-only backend needs the virtual device count fixed
+# BEFORE jax initialises; on real multi-chip hardware the flag is a no-op
+# (jax.devices() already exposes the chips).
+if "--mesh" in sys.argv:
+    _n = int(sys.argv[sys.argv.index("--mesh") + 1])
+    if _n > 1 and os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={_n}")
+
 import jax  # noqa: E402
 
 BASELINE_STEPS_PER_SEC = 10_000_000.0
@@ -113,9 +123,46 @@ def run_exact(envs, chunk, chunks, players, pieces, difficulty, block):
     return (total - dead) / dt, episodes, dead / total
 
 
+def run_mesh(n_devices, envs, chunk, chunks, players, pieces, difficulty,
+             block):
+    """sharded_kernel_rollout over an n_devices mesh (real chips when
+    available, else the virtual host mesh): per-shard blocked kernel
+    scans + queued on-device auto-resets, one psum'd reset gate per
+    chunk. Returns (steps_per_sec, episodes). The psum-gate overhead is
+    isolated by comparing the 1-device mesh against the unsharded kernel
+    path on the same workload (--mesh 1)."""
+    from eldorado_tpu.parallel.mesh import make_mesh
+    from eldorado_tpu.parallel.runner import sharded_kernel_rollout
+    from eldorado_tpu.vec import sampler_init, vec_reset
+
+    interpret = jax.devices()[0].platform != "tpu"
+    mesh = make_mesh(n_devices)
+    states = vec_reset(12345, envs, players, pieces, difficulty, 100000)
+    jax.block_until_ready(states.map_obs)
+    rngs = sampler_init(42, envs)
+    block = min(block, envs // n_devices)
+    s, r, _ = sharded_kernel_rollout(mesh, states, rngs, chunk, chunk,
+                                     block=block, interpret=interpret)
+    jax.block_until_ready(s.rng)
+    _prewarm_resets(states, envs)
+    t0 = time.time()
+    s, r, episodes = sharded_kernel_rollout(
+        mesh, states, rngs, chunk * chunks, chunk, block=block,
+        interpret=interpret)
+    jax.block_until_ready(s.rng)
+    dt = time.time() - t0
+    return envs * chunk * chunks / dt, episodes
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="N>0: run the kernel-sharded rollout over an "
+                         "N-device mesh (virtual host mesh off-TPU) and "
+                         "report per-device throughput; --mesh 1 vs the "
+                         "default path isolates the shard_map+psum-gate "
+                         "overhead on identical work")
     ap.add_argument("--chunk", type=int, default=1500)
     ap.add_argument("--chunks", type=int, default=7)
     ap.add_argument("--reset-mode", choices=["sync", "async"],
@@ -153,6 +200,23 @@ def main():
                                   args.reset_mode)
         print(f"mode {be}@{args.envs}: {sps:,.0f} steps/s "
               f"({eps} episodes)", file=sys.stderr)
+
+    if args.mesh > 0:
+        sps, episodes = run_mesh(
+            args.mesh, args.envs, args.chunk, args.chunks, args.players,
+            args.pieces, args.difficulty, min(args.block, args.envs))
+        print(json.dumps({
+            "metric": f"env_steps_per_sec@{args.envs}envs_mesh{args.mesh}",
+            "value": round(sps, 1),
+            "unit": "env-steps/s",
+            "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 4),
+            "backend": "kernel-sharded",
+            "mesh": args.mesh,
+            "per_device_steps_per_sec": round(sps / args.mesh, 1),
+            "chunk": args.chunk,
+            "episodes_reset_mid_run": episodes,
+        }))
+        return 0
 
     sps, backend, episodes = run_config(
         args.envs, args.chunk, args.chunks, args.players, args.pieces,

@@ -1379,7 +1379,10 @@ def _step_from_view(s0: EnvState, s: EnvState, v: "PView", p, action,
             cost = jnp.max(jnp.where(oh_i, _SHOP_COST, 0.0))
             res = jnp.where(free, v.resources,
                             v.resources - jnp.where(_IOTA3 == 2, cost, 0.0))
-            phase = jnp.where(free, v.phase, (v.phase + 1) % 3)
+            # phase cycle: phase is always in {0,1,2}, so (p+1)%3 is a
+            # compare-select (jnp's % emits a floor-mod chain of ~6 ops)
+            phase = jnp.where(free, v.phase,
+                              jnp.where(v.phase == 2, 0, v.phase + 1))
             oh_card = _oh(card, _IOTA21)
             return v._replace(
                 shop_stock=stock, in_market=in_mkt, n_in_market=n_mkt,
@@ -1395,7 +1398,7 @@ def _step_from_view(s0: EnvState, s: EnvState, v: "PView", p, action,
             return _select(v.n_removes == 0, _enable_playing_p(v), v)
 
         def f_null(v):
-            v = v._replace(phase=(v.phase + 1) % 3)
+            v = v._replace(phase=jnp.where(v.phase == 2, 0, v.phase + 1))
             pending = v.n_removes > 0
             cleared = _enable_playing_p(
                 v._replace(n_removes=jnp.zeros((), _u8)))

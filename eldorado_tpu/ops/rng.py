@@ -45,6 +45,14 @@ def _shr(x, n):
     return jax.lax.shift_right_logical(x, jnp.asarray(n, _i32))
 
 
+def _div(a, b):
+    """Truncating unsigned division: every quotient in these kernels has
+    nonnegative operands, where lax.div == C++ '/'. jnp's // emits the
+    floor-division correction chain (div+rem+sign+selects, ~5 vector ops
+    per site in the fused step kernel) for a case that cannot occur."""
+    return jax.lax.div(a, b)
+
+
 def seed(s):
     """libstdc++ linear_congruential_engine::seed: x = s % M, 0 -> 1.
 
@@ -81,7 +89,7 @@ def uniform_int(x, uerange):
       (value, new_state): value in [0, uerange-1], int32.
     """
     uerange = jnp.asarray(uerange, _i32)
-    scaling = jnp.asarray(URNG_RANGE, _i32) // uerange
+    scaling = _div(jnp.asarray(URNG_RANGE, _i32), uerange)
     past = uerange * scaling
 
     def cond(carry):
@@ -95,7 +103,7 @@ def uniform_int(x, uerange):
 
     x0 = next_u31(x)
     x, r = jax.lax.while_loop(cond, body, (x0, x0 - 1))
-    return r // scaling, x
+    return _div(r, scaling), x
 
 
 def uniform_int_maybe(x, uerange, do_draw):
@@ -121,14 +129,14 @@ def uniform_int_fast(x, uerange):
     callers accumulate it so parity claims stay honest.
     """
     uerange = jnp.asarray(uerange, _i32)
-    scaling = jnp.asarray(URNG_RANGE, _i32) // uerange
+    scaling = _div(jnp.asarray(URNG_RANGE, _i32), uerange)
     past = uerange * scaling
     x1 = next_u31(x)
     r1 = x1 - 1
     ok1 = r1 < past
     x2 = next_u31(x1)
     r2 = x2 - 1
-    v = jnp.where(ok1, r1, r2) // scaling
+    v = _div(jnp.where(ok1, r1, r2), scaling)
     x_out = jnp.where(ok1, x1, x2)
     tainted = (r1 >= past) & (r2 >= past)
     return v, x_out, tainted

@@ -153,23 +153,68 @@ class _ShardedKernelPrograms:
         ax = P(ENV_AXES)
         shmap = functools.partial(jax.shard_map, mesh=mesh,
                                   check_vma=False)
+        from jax.sharding import NamedSharding
+        shard0 = NamedSharding(mesh, ax)
 
         # ---- block_in / unblock -------------------------------------
-        @functools.partial(jax.jit, donate_argnums=())
-        @functools.partial(
-            shmap, in_specs=(ax, ax),
-            out_specs=(ax, ax, ax))
-        def block_in(states, rngs):
-            _trace_count[0] += 1
-            bctx, bdyn, brngs = progs.block_in_raw(states, rngs)
-            return bctx, bdyn, brngs
+        # Pure per-env layout transforms: global blocking (env e ->
+        # block e//block, lane e%block, blocks contiguous per device)
+        # produces byte-identical per-device buffers to per-shard
+        # blocking, so these run as plain jit with first-axis sharding
+        # constraints — inside shard_map the same transposes lower ~30x
+        # (block_in) / ~150x (unblock) slower (measured on v5e, 4096
+        # envs: 1.46 s vs 43 ms, 4.3 s vs 28 ms). The scan itself
+        # (run_q) stays shard_map — its per-shard compaction is genuine
+        # local-view work and costs the same either way.
+        n_total = n
+
+        def _sharded0(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, shard0),
+                tree)
+
+        nbg = n_total // block
+        feat = progs.feat
+
+        def t_in_g(x):
+            if x.ndim == 1:
+                return x.reshape(nbg, 1, block)
+            x = x.reshape((nbg, block) + x.shape[1:])
+            return jnp.moveaxis(x, 1, -1)
+
+        def t_out_g(o, fshape):
+            if len(fshape) == 0:
+                return o.reshape(n_total)
+            o = jnp.moveaxis(o, -1, 1)
+            return o.reshape((n_total,) + tuple(fshape))
 
         @jax.jit
-        @functools.partial(shmap, in_specs=(ax, ax, ax),
-                           out_specs=(ax, ax))
+        def block_in(states, rngs):
+            _trace_count[0] += 1
+            _, dyn = E.split_state(states)
+            tabs = jax.vmap(E.pack_ball_word_table)(states.map_obs)
+            bparams = jnp.stack(
+                [states.n_players, states.n_pieces, states.difficulty,
+                 states.max_steps], axis=-1)
+            bctx = (tabs, t_in_g(states.min_xy), t_in_g(states.n_players),
+                    t_in_g(states.max_steps), bparams)
+            bdyn = tuple(
+                t_in_g(x.astype(jnp.int32) if x.dtype == jnp.bool_ else x)
+                for x in dyn)
+            return _sharded0((bctx, bdyn, t_in_g(rngs)))
+
+        @jax.jit
         def unblock(states, bdyn, brngs):
             _trace_count[0] += 1
-            return progs.unblock_raw(states, bdyn, brngs)
+            static, _ = E.split_state(states)
+            new_dyn = []
+            for o, (_, fshape, fdtype) in zip(bdyn, feat):
+                o = t_out_g(o, fshape)
+                if fdtype == jnp.bool_:
+                    o = o != 0
+                new_dyn.append(o)
+            return _sharded0((E.merge_state(static, tuple(new_dyn)),
+                              t_out_g(brngs, ())))
 
         # ---- chunk scan + queue build --------------------------------
         @functools.partial(jax.jit, static_argnums=(4,),

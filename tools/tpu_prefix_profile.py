@@ -2,12 +2,19 @@
 """Prefix-timing bisection of the fused step kernel on the TPU.
 
 Builds pallas_call kernels that evaluate only the first K nodes of the
-optimised step plan (K over a sweep), reducing every live value at cut
-point K into one tiny output checksum so nothing is DCE'd. The time-vs-K
-curve attributes kernel wall time to plan regions.
+optimised step plan (K over a sweep), reducing every value live at cut
+point K into one tiny checksum so nothing is DCE'd. The time-vs-K curve
+attributes kernel wall time to plan regions.
+
+Measurement notes (see tools/tpu_true_step_cost.py): host
+materialisation is the only real barrier through the device tunnel, the
+tunnel memoises identical dispatches (fresh inputs per timed call), and
+a carry-dependence is threaded into the kernel input so XLA cannot
+hoist the loop-invariant call out of the timing scan. Per-call cost is
+obtained by differencing two scan lengths.
 
 Usage: python tools/tpu_prefix_profile.py [--envs 4096] [--block 512]
-       [--cuts 0,300,600,...]
+       [--cuts 0,300,...]
 """
 import argparse
 import functools
@@ -33,7 +40,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--block", type=int, default=512)
-    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--s1", type=int, default=100)
+    ap.add_argument("--s2", type=int, default=400)
+    ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--cuts", type=str, default="")
     args = ap.parse_args()
 
@@ -43,20 +52,16 @@ def main():
     from eldorado_tpu.ops.jaxpr_opt import build_plan
     from eldorado_tpu.vec import sampler_init, vec_reset
 
-    n, block, T = args.envs, args.block, args.steps
+    n, block = args.envs, args.block
     nb = n // block
     states = vec_reset(123, n, 4, 3, 0, 100000)
-    jax.block_until_ready(states.map_obs)
 
     feat = K._feat_template(states)
     _, dyn = E.split_state(states)
     ex = [jnp.zeros((block,) + x.shape[1:], x.dtype) for x in dyn]
-    ex.append(jnp.zeros((block,), jnp.int32))
-    for _ in range(3):
-        ex.append(jnp.zeros((block, 4, E.N_BALL), jnp.int32))
-    ex.append(jnp.zeros((block,), jnp.int32))
-    ex.append(jnp.zeros((block,), jnp.int32))
-    body = functools.partial(K._step_values, feat, "storage")
+    for _ in range(7):   # srng + 4 ball words + n_players + max_steps
+        ex.append(jnp.zeros((block,), jnp.int32))
+    body = functools.partial(K._step_values, feat, "storage", False)
     cj = jax.make_jaxpr(body)(*ex)
     plan = build_plan(cj, block)
     N = len(plan.nodes)
@@ -76,9 +81,9 @@ def main():
               for u in uniq2d]
 
     n_in = len(ex)
+    n_dyn = len(feat)
     in_meta = ([(len(f) == 0, d == jnp.bool_) for _, f, d in feat]
-               + [(True, False), (False, False), (False, False),
-                  (False, False), (True, False), (True, False)])
+               + [(True, False)] * 7)
 
     def t_in(x):
         if x.ndim == 1:
@@ -100,15 +105,14 @@ def main():
             for x in dyn]
     rngs = sampler_init(7, n)
     ins0.append(t_in(rngs))
-    ball = jax.vmap(E._ball_cells)(states)
-    for part in ball:
+    words = jax.vmap(E.ball_words)(states)
+    for part in words:
         ins0.append(t_in(part))
     ins0.append(t_in(states.n_players))
     ins0.append(t_in(states.max_steps))
+    i_srng = n_dyn
 
     def make_prefix(cut):
-        """Kernel evaluating plan.nodes[:cut]; checksum of values live at
-        the cut (consumed by nodes >= cut or plan outputs)."""
         nodes = plan.nodes[:cut]
         defined = set()
         for nd in nodes:
@@ -121,7 +125,6 @@ def main():
         for r in plan.outrefs:
             if r[0] == "v" and r[1] in defined:
                 live.add(r[1])
-        # cap the checksum set to bound the reduce cost
         live = list(live)[:64]
 
         class P:
@@ -150,8 +153,7 @@ def main():
                                       *vals)]
             acc = jnp.zeros((block,), jnp.int32)
             for v in results:
-                v = v.astype(jnp.int32) if v.dtype != jnp.float32 \
-                    else v.astype(jnp.int32)
+                v = v.astype(jnp.int32)
                 while v.ndim > 1:
                     v = jnp.sum(v, axis=0, dtype=jnp.int32)
                 if v.ndim == 0:
@@ -161,23 +163,27 @@ def main():
 
         out_shape = jax.ShapeDtypeStruct((nb, 1, block), jnp.int32)
 
-        @jax.jit
-        def run(ins):
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def run(ins, steps):
             def step(c, _):
+                # thread the carry into an input so XLA cannot hoist the
+                # loop-invariant kernel call out of the scan
+                jiggled = list(ins)
+                jiggled[i_srng] = ins[i_srng] + (c & 1)
                 o = pl.pallas_call(
                     kernel2,
                     grid=(nb,),
-                    in_specs=([bspec(x.shape) for x in ins]
+                    in_specs=([bspec(x.shape) for x in jiggled]
                               + [cspec(u.shape) for u in uniq2d]),
                     out_specs=bspec(out_shape.shape),
                     out_shape=out_shape,
                     compiler_params=pltpu.CompilerParams(
                         dimension_semantics=("arbitrary",),
                         vmem_limit_bytes=100 * 1024 * 1024),
-                )(*ins, *uniq2d)
+                )(*jiggled, *uniq2d)
                 return c + o[0, 0, 0], None
             acc, _ = jax.lax.scan(step, jnp.zeros((), jnp.int32), None,
-                                  length=T)
+                                  length=steps)
             return acc
 
         return run
@@ -187,25 +193,37 @@ def main():
     else:
         cuts = [0, N // 8, N // 4, 3 * N // 8, N // 2, 5 * N // 8,
                 3 * N // 4, 7 * N // 8, N]
-    prev_t = None
+
+    seeds = iter(range(1000, 100000))
+
+    def timed(run, steps):
+        ts = []
+        for _ in range(args.reps):
+            rr = sampler_init(next(seeds), n)
+            ii = list(ins0)
+            ii[i_srng] = t_in(rr)
+            np.asarray(jnp.sum(ii[i_srng]))
+            t0 = time.perf_counter()
+            np.asarray(run(ii, steps))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    prev = None
     for cut in cuts:
         try:
             run = make_prefix(cut)
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(ins0))
-            tc = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(ins0))
-            dt = (time.perf_counter() - t0) / T
-            delta = "" if prev_t is None else \
-                f"  (+{(dt - prev_t) * 1e6:7.1f} us)"
-            prev_t = dt
-            print(f"cut {cut:5d}: {dt*1e6:9.1f} us/step{delta}  "
-                  f"[compile {tc:.0f}s]", flush=True)
+            timed(run, args.s1)
+            timed(run, args.s2)
+            t1 = timed(run, args.s1)
+            t2 = timed(run, args.s2)
+            per = (t2 - t1) / (args.s2 - args.s1)
+            delta = "" if prev is None else f"  (+{(per - prev)*1e6:7.1f})"
+            print(f"cut {cut:5d}  per-call {per*1e6:8.1f} us{delta}",
+                  flush=True)
+            prev = per
         except Exception as e:
-            print(f"cut {cut:5d}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
-            prev_t = None
+            print(f"cut {cut:5d}  FAILED: {type(e).__name__}: {e}",
+                  flush=True)
 
 
 if __name__ == "__main__":
