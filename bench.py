@@ -181,6 +181,8 @@ def main():
                     help="also time the other backend (stderr)")
     ap.add_argument("--no-exact", action="store_true",
                     help="skip the exact same-step auto-reset measurement")
+    ap.add_argument("--no-stream", action="store_true",
+                    help="skip the per-step learner-feed measurements")
     args = ap.parse_args()
 
     if args.sweep:
@@ -247,6 +249,40 @@ def main():
             line["exact_dead_fraction"] = round(edead, 5)
         except Exception as e:
             print(f"exact mode failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+    if backend == "kernel" and not args.no_stream:
+        # the per-step learner feed (eldorado_tpu.stream): packed 5-word
+        # records per env per step off the kernel scan, consumed (a) ON
+        # DEVICE (co-located JAX learner pattern) and (b) through the
+        # host TrajectoryRing (delivered rate is device->host-link-bound;
+        # PCIe-class hosts sustain the device rate, this environment's
+        # network tunnel ~9-16 MB/s does not — docs/performance.md)
+        try:
+            import numpy as _np
+            from eldorado_tpu import stream as S
+            from eldorado_tpu.vec import sampler_init, vec_reset
+            st = vec_reset(12345, args.envs, args.players, args.pieces,
+                           args.difficulty, 100000)
+            rg = sampler_init(42, args.envs)
+            S.stream_rollout(st, rg, args.chunk, args.chunk,
+                             block=min(args.block, args.envs),
+                             deliver="device")
+            t0 = time.time()
+            _, _, _, carry = S.stream_rollout(
+                st, rg, args.chunk * 3, args.chunk,
+                block=min(args.block, args.envs), deliver="device")
+            dev_sps = int(_np.asarray(carry[0])) / (time.time() - t0)
+            line["stream_device_env_steps_per_sec"] = round(dev_sps, 1)
+            t0 = time.time()
+            _, _, _, cons = S.stream_rollout(
+                st, rg, args.chunk, args.chunk,
+                block=min(args.block, args.envs), deliver="ring")
+            ring_sps = cons.records / (time.time() - t0)
+            line["stream_ring_env_steps_per_sec"] = round(ring_sps, 1)
+            line["stream_ring_checksum_ok"] = bool(cons.records
+                                                   == args.envs * args.chunk)
+        except Exception as e:
+            print(f"stream mode failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
     print(json.dumps(line))
     return 0

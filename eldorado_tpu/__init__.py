@@ -12,6 +12,9 @@ Public surface:
 * `eldorado_tpu.vec` — `VecEnv`, `vec_reset`/`vec_step`/`vec_sample`,
   `rollout`/`rollout_chunked`/`kernel_rollout` (lockstep batches,
   auto-reset).
+* `eldorado_tpu.stream` — the per-step learner feed: packed trajectory
+  records off the kernel scan, streamed through the native
+  `TrajectoryRing` to a consumer thread (`stream_rollout`).
 * `eldorado_tpu.compat` — a `city_of_gold`-shaped module mirror
   (structured dtypes, `cog_env`, `action_sampler`, `vec` getters).
 * `eldorado_tpu.parallel` — mesh construction, `ShardedRunner` (incl.
@@ -27,12 +30,14 @@ from .errors import GenerateMapFailure, MapCapacityError
 from .vec import (VecEnv, check_map_generation, kernel_rollout, rollout,
                   rollout_chunked, sampler_init, vec_reset, vec_sample,
                   vec_step)
+from .stream import stream_rollout
 
 __all__ = [
     "constants", "errors", "Difficulty",
     "GenerateMapFailure", "MapCapacityError",
     "VecEnv", "vec_reset", "vec_step", "vec_sample", "sampler_init",
     "rollout", "rollout_chunked", "kernel_rollout", "check_map_generation",
+    "stream_rollout",
 ]
 
 __version__ = "0.2.0"

@@ -140,7 +140,9 @@ def rollout(states, sampler_rngs, n_steps: int, mask_src: str = "storage",
     """Self-play rollout: n_steps of sample+step under one lax.scan — the
     jitted equivalent of the reference's runner.sample(); runner.step_sync()
     driver loop (pytest/test_vec_env.py:97-112). Returns final carry plus
-    per-step (actions, dones, rewards, agents).
+    per-step (actions, dones, rewards, agents, sel_mask_words, resources,
+    phases) — the same learner surface the packed streaming path emits
+    (eldorado_tpu.stream), post-step convention.
 
     auto_reset:
       * "step": reset done envs inside the scan via a batch-gated
@@ -170,7 +172,8 @@ def rollout(states, sampler_rngs, n_steps: int, mask_src: str = "storage",
             s = jax.lax.cond(jnp.any(done),
                              lambda x: _batch_select(done, _vreset(x), x),
                              lambda x: x, s)
-            return (s, rngs), (actions, done, s.rewards, s.agent)
+            return (s, rngs), (actions, done, s.rewards, s.agent,
+                               s.sel_mask, s.resources, s.phase)
 
         (states, sampler_rngs), traj = jax.lax.scan(
             body, (states, sampler_rngs), None, length=n_steps)
@@ -182,7 +185,8 @@ def rollout(states, sampler_rngs, n_steps: int, mask_src: str = "storage",
         dyn, rngs = carry
         s, rngs, actions = sample_and_step(_merge_state(static, dyn), rngs)
         _, dyn = _split_state(s)
-        return (dyn, rngs), (actions, s.done, s.rewards, s.agent)
+        return (dyn, rngs), (actions, s.done, s.rewards, s.agent,
+                             s.sel_mask, s.resources, s.phase)
 
     (dyn, sampler_rngs), traj = jax.lax.scan(
         body, (dyn0, sampler_rngs), None, length=n_steps)
@@ -259,6 +263,9 @@ class _KernelPrograms:
         i_done = E.DYN_FIELDS.index("done")
         i_rew = E.DYN_FIELDS.index("rewards")
         i_agent = E.DYN_FIELDS.index("agent")
+        i_sel = E.DYN_FIELDS.index("sel_mask")
+        i_res = E.DYN_FIELDS.index("resources")
+        i_phase = E.DYN_FIELDS.index("phase")
         n = int(states.rng.shape[0])
         GRID2 = E.GRIDSIZE * E.GRIDSIZE
 
@@ -320,8 +327,18 @@ class _KernelPrograms:
                 bball = (g[:, 0:1], g[:, 1:2], g[:, 2:3], g[:, 3:4])
                 bdyn, brngs, bact = fused.blocked(bdyn, brngs, bball,
                                                   bnp, bms)
-                out = ((bact, bdyn[i_done], bdyn[i_rew], bdyn[i_agent])
-                       if want_traj else None)
+                if want_traj == "packed":
+                    # the per-step learner feed: 5 packed words/env
+                    # (stream.pack_step_blocked layout)
+                    from .stream import pack_step_blocked
+                    out = pack_step_blocked(
+                        bact, bdyn[i_done], bdyn[i_rew], bdyn[i_agent],
+                        bdyn[i_sel], bdyn[i_res], bdyn[i_phase])
+                elif want_traj:
+                    out = (bact, bdyn[i_done], bdyn[i_rew],
+                           bdyn[i_agent])
+                else:
+                    out = None
                 return (bdyn, brngs, dead), out
 
             (bdyn, brngs, dead), traj = jax.lax.scan(
@@ -357,6 +374,12 @@ class _KernelPrograms:
                     jax.vmap(lambda x: t_out(x, (4,)))(brew),
                     jax.vmap(lambda x: t_out(x, ()))(bagent))
 
+        @jax.jit
+        def unblock_packed(traj):
+            # (T, nb, 5, block) packed records -> (T, n, 5) env-major
+            from .stream import RECORD_WORDS
+            return jax.vmap(lambda x: t_out(x, (RECORD_WORDS,)))(traj)
+
         # ---- async host-reset programs -------------------------------
         # Resetting finished envs costs ~230 ms on-TPU per event at 4096
         # envs (full env-major round-trip + on-device procgen's deep
@@ -384,12 +407,15 @@ class _KernelPrograms:
             return ((bi[:, None] * F + jnp.arange(F)[None, :]) * block
                     + lane[:, None])
 
-        def _run_q(bctx, bdyn, brngs, qstate, n_steps):
+        def _run_q(bctx, bdyn, brngs, qstate, n_steps, want_traj=False):
             """Scan + device-side reset-queue build: returns (bdyn, brngs,
-            qstate', any_new, resetq) where resetq packs
+            qstate', any_new, resetq[, traj]) where resetq packs
             [count, idxs(Q), params(Q,4), frozen dyn columns] as i32.
-            counters[3] accumulates dead steps (exact-mode metric)."""
-            bdyn, brngs, dead, _ = _scan(bctx, bdyn, brngs, n_steps, False)
+            counters[3] accumulates dead steps (exact-mode metric).
+            ``want_traj="packed"`` additionally returns the per-step
+            learner-feed records, blocked (n_steps, nb, 5, block)."""
+            bdyn, brngs, dead, traj = _scan(bctx, bdyn, brngs, n_steps,
+                                            want_traj)
             inflight, counters = qstate
             newly = (bdyn[i_done] != 0) & (inflight == 0)
             nf = newly.reshape(n)            # env id = b*block + lane
@@ -422,9 +448,12 @@ class _KernelPrograms:
             counters = (counters
                         + jnp.where(jnp.arange(4) == 0, count, 0)
                         + jnp.where(jnp.arange(4) == 3, dead, 0))
+            if want_traj:
+                return (bdyn, brngs, (inflight, counters), count > 0,
+                        resetq, traj)
             return (bdyn, brngs, (inflight, counters), count > 0, resetq)
 
-        run_q = functools.partial(jax.jit, static_argnums=(4,),
+        run_q = functools.partial(jax.jit, static_argnums=(4, 5),
                                   donate_argnums=(1, 2, 3))(_run_q)
 
         def _reset_q(rq):
@@ -530,6 +559,7 @@ class _KernelPrograms:
         self.run = run
         self.unblock = unblock
         self.unblock_traj = unblock_traj
+        self.unblock_packed = unblock_packed
         self.qstate_init = qstate_init
         self.run_q = run_q
         self.reset_q_dev = jax.jit(_reset_q)

@@ -20,6 +20,11 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 # literal → scaled-down literal, applied as plain substring replacement
 # inside snippet text only (checked to stay whole-token by the doc text)
 _SCALE = [
+    ("N, T = 4096, 6000", "N, T = 32, 40"),
+    ("T, chunk=1500, block=512", "T, chunk=20, block=8"),
+    ("N, T = 1024, 400", "N, T = 16, 10"),
+    ("T, chunk=100, block=512, steps_per_push=50",
+     "T, chunk=5, block=8, steps_per_push=5"),
     ("4096", "32"),
     ("8192", "64"),
     ("65536", "64"),
@@ -73,12 +78,14 @@ def test_api_md_fresh():
 
 @pytest.mark.parametrize("fname,code", _BLOCKS)
 def test_doc_snippet_runs(fname, code, monkeypatch):
-    if "native.TrajectoryRing" in code:
+    if "native.TrajectoryRing" in code or (
+            "stream.stream_rollout" in code
+            and 'deliver="device"' not in code):
         from eldorado_tpu import native
         if not native.available():
             pytest.skip("native toolchain unavailable")
     if ("backend=\"kernel\"" in code or "kernel_rollout" in code
-            or "rollout_chunked" in code):
+            or "rollout_chunked" in code or "stream_rollout" in code):
         # CPU test backend: run the Pallas kernel in interpreter mode
         import eldorado_tpu.vec as V
         orig = V._kernel_programs
