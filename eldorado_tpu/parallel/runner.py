@@ -255,9 +255,38 @@ class _ShardedKernelPrograms:
                 buf[0] > 0, fire, lambda a: a, (bdyn, bctx, states, qs))
             return bdyn, bctx, states, (qs[0], qs[1][None])
 
+        # ---- fused chunk: scan + per-shard cond-gated reset apply ----
+        # No host synchronisation anywhere (the unsharded _run_auto
+        # design): dispatches pipeline, SPMD control flow diverges
+        # freely per shard (the reset branches contain no collectives),
+        # counters are read once at rollout end.
+        @functools.partial(jax.jit, static_argnums=(5,),
+                           donate_argnums=(0, 1, 2, 3))
+        def run_auto(bctx, bdyn, brngs, qstate, states, chunk):
+            @functools.partial(
+                shmap, in_specs=(ax, ax, ax, (ax, ax), ax),
+                out_specs=(ax, ax, ax, (ax, ax), ax))
+            def go(bctx, bdyn, brngs, qstate, states):
+                _trace_count[0] += 1
+                inflight, counters1 = qstate
+                bdyn, brngs, qs, has_new, resetq = progs.run_q_raw(
+                    bctx, bdyn, brngs, (inflight, counters1[0]), chunk)
+
+                def fire(args):
+                    bdyn, bctx, states, qs = args
+                    return progs.apply_q_raw(
+                        bdyn, bctx, states, qs, progs.reset_q_raw(resetq))
+
+                bdyn, bctx2, states, qs = jax.lax.cond(
+                    has_new, fire, lambda a: a,
+                    (bdyn, bctx, states, qs))
+                return bctx2, bdyn, brngs, (qs[0], qs[1][None]), states
+            return go(bctx, bdyn, brngs, qstate, states)
+
         self.block_in = block_in
         self.unblock = unblock
         self.run_q = run_q
+        self.run_auto = run_auto
         self.reset_apply = reset_apply
 
     def qstate_init(self):
@@ -310,12 +339,11 @@ def sharded_kernel_rollout(mesh: Mesh, states, sampler_rngs, n_steps: int,
     bctx, bdyn, brngs = progs.block_in(states, sampler_rngs)
     qstate = progs.qstate_init()
     n_chunks = max(1, n_steps // chunk)
+    # fused per-chunk program (scan + per-shard cond-gated resets):
+    # dispatches pipeline with no host round trips in the loop
     for _ in range(n_chunks):
-        bdyn, brngs, qstate, any_new, resetq = progs.run_q(
-            bctx, bdyn, brngs, qstate, chunk)
-        if bool(any_new):
-            bdyn, bctx, states, qstate = progs.reset_apply(
-                bdyn, bctx, states, qstate, resetq)
+        bctx, bdyn, brngs, qstate, states = progs.run_auto(
+            bctx, bdyn, brngs, qstate, states, chunk)
     counters = np.asarray(qstate[1]).sum(axis=0)
     states, sampler_rngs = progs.unblock(states, bdyn, brngs)
     episodes = int(counters[0])

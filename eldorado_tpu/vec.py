@@ -552,6 +552,35 @@ class _KernelPrograms:
         apply_q = functools.partial(jax.jit, donate_argnums=(0, 1, 3))(
             _apply_q)
 
+        def _run_auto(bctx, bdyn, brngs, qstate, states, chunk):
+            """One chunk, fully on device: the blocked step scan plus a
+            lax.cond-gated reset_q+apply_q (taken only when an episode
+            finished this chunk). The chunked rollout dispatches this
+            n_chunks times WITHOUT any host synchronisation — the
+            per-chunk `bool(any_new)` round trip (~25 ms over this
+            environment's device tunnel) and the separate reset/apply
+            dispatches are gone; dispatches pipeline asynchronously, and
+            failure flags / episode / dead counters ride the qstate
+            counters, read once at rollout end."""
+            bdyn, brngs, qstate, has_new, resetq = _run_q(
+                bctx, bdyn, brngs, qstate, chunk)
+
+            def fire(args):
+                bdyn, bctx, states, qs, rq = args
+                return _apply_q(bdyn, bctx, states, qs, _reset_q(rq))
+
+            def skip(args):
+                return args[:4]
+
+            bdyn, bctx, states, qstate = jax.lax.cond(
+                has_new, fire, skip,
+                (bdyn, bctx, states, qstate, resetq))
+            return bctx, bdyn, brngs, qstate, states
+
+        run_auto = functools.partial(jax.jit, static_argnums=(5,),
+                                     donate_argnums=(0, 1, 2, 3))(
+                                         _run_auto)
+
         self.block = block
         self.n = n
         self.q_cap = Q
@@ -562,6 +591,7 @@ class _KernelPrograms:
         self.unblock_packed = unblock_packed
         self.qstate_init = qstate_init
         self.run_q = run_q
+        self.run_auto = run_auto
         self.reset_q_dev = jax.jit(_reset_q)
         self.reset_q_cpu = jax.jit(_reset_q, backend="cpu")
         self.apply_q = apply_q
@@ -684,24 +714,27 @@ def _rollout_chunked_q(states, sampler_rngs, n_chunks, chunk,
     qstate = progs.qstate_init()
     pending = None
 
-    for _ in range(n_chunks):
-        bdyn, brngs, qstate, any_new, resetq = progs.run_q(
-            bctx, bdyn, brngs, qstate, chunk)
+    if not deferred:
+        # sync mode: per chunk, ONE fused device program (step scan +
+        # cond-gated reset apply); dispatches pipeline with no host
+        # round trips anywhere in the loop (see _run_auto)
+        for _ in range(n_chunks):
+            bctx, bdyn, brngs, qstate, states = progs.run_auto(
+                bctx, bdyn, brngs, qstate, states, chunk)
+    else:
+        for _ in range(n_chunks):
+            bdyn, brngs, qstate, any_new, resetq = progs.run_q(
+                bctx, bdyn, brngs, qstate, chunk)
+            if pending is not None:
+                bdyn, bctx, states, qstate = progs.apply_q(
+                    bdyn, bctx, states, qstate, pending)
+                pending = None
+            if bool(any_new):
+                buf = progs.reset_q_cpu(jax.device_put(resetq, cpu))
+                pending = jax.device_put(buf, tpu)
         if pending is not None:
             bdyn, bctx, states, qstate = progs.apply_q(
                 bdyn, bctx, states, qstate, pending)
-            pending = None
-        if bool(any_new):
-            if deferred:
-                buf = progs.reset_q_cpu(jax.device_put(resetq, cpu))
-                pending = jax.device_put(buf, tpu)
-            else:
-                bdyn, bctx, states, qstate = progs.apply_q(
-                    bdyn, bctx, states, qstate,
-                    progs.reset_q_dev(resetq))
-    if pending is not None:
-        bdyn, bctx, states, qstate = progs.apply_q(
-            bdyn, bctx, states, qstate, pending)
     counters = np.asarray(qstate[1])
     episodes = int(counters[0])
     states, sampler_rngs = progs.unblock(states, bdyn, brngs)

@@ -45,7 +45,7 @@ def test_exact_per_env_sequences_match_step_reset():
 
     a_ref, d_ref, r_ref, g_ref = [
         np.asarray(x) for x in
-        vec.rollout(states, rngs, T, auto_reset="step")[2]]
+        vec.rollout(states, rngs, T, auto_reset="step")[2][:4]]
     acts, dones, rews, agents = _exact_traj(states, rngs)
 
     # a step is dead when the env was done at entry; chunk-boundary steps
