@@ -174,7 +174,7 @@ def main():
     ap.add_argument("--pieces", type=int, default=3)
     ap.add_argument("--difficulty", type=int, default=0)
     ap.add_argument("--backend", choices=["kernel", "xla"], default="kernel")
-    ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--block", type=int, default=1024)
     ap.add_argument("--sweep", action="store_true",
                     help="also time an env-count sweep (stderr)")
     ap.add_argument("--all-modes", action="store_true",

@@ -311,7 +311,7 @@ def _sharded_kernel_programs(mesh: Mesh, n: int, mask_src: str, block: int,
 
 def sharded_kernel_rollout(mesh: Mesh, states, sampler_rngs, n_steps: int,
                            chunk: int = 1500, mask_src: str = "storage",
-                           block: int = 512, interpret: bool = False,
+                           block: int = 1024, interpret: bool = False,
                            exact: bool = False):
     """vec.rollout_chunked(backend="kernel", reset_mode="sync") over a
     device mesh: per-shard blocked kernel scans with on-device queued
@@ -456,7 +456,7 @@ class ShardedRunner:
         return stats
 
     def rollout_chunked(self, n_steps: int, chunk: int = 1500,
-                        block: int = 512, interpret: bool = False):
+                        block: int = 1024, interpret: bool = False):
         """Kernel-backed high-throughput driver: per-shard Pallas step
         scans + queued on-device auto-resets (sharded_kernel_rollout).
         Returns {"episodes", "steps"}."""

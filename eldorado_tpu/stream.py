@@ -166,7 +166,7 @@ def device_stats_fn(carry, traj):
 
 
 def stream_rollout(states, sampler_rngs, n_steps: int, chunk: int = 1500,
-                   mask_src: str = "storage", block: int = 512,
+                   mask_src: str = "storage", block: int = 1024,
                    interpret: bool = False, ring=None,
                    steps_per_push: int = 100, consume=None,
                    deliver: str = "ring", device_fn=None,

@@ -37,6 +37,15 @@ os.environ.setdefault(
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# sitecustomize imports jax at interpreter startup, BEFORE this conftest
+# (or any tool) can set JAX_COMPILATION_CACHE_DIR in the environment —
+# so the env var alone never takes effect and every process recompiles
+# everything (measured: the suite's heaviest tests are compile-bound and
+# the cache dir stayed empty for three rounds). Setting the config
+# directly after import is what actually enables the persistent cache.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ["JAX_COMPILATION_CACHE_DIR"])
 from jax._src import xla_bridge as _xb  # noqa: E402
 
 _xb._clear_backends()

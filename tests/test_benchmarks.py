@@ -57,7 +57,7 @@ def test_docs_site_builds(tmp_path):
         capture_output=True, text=True)
     assert out.returncode == 0, out.stderr
     pages = sorted(p.name for p in tmp_path.iterdir())
-    assert pages == ["api.html", "index.html", "performance.html",
-                     "usage.html"], pages
+    assert pages == ["api.html", "index.html", "perf-history.html",
+                     "performance.html", "usage.html"], pages
     text = (tmp_path / "usage.html").read_text()
     assert "<nav>" in text and "rollout_chunked" in text

@@ -26,6 +26,7 @@ PAGES = [
     ("index", "README.md", "Overview"),
     ("usage", "docs/usage.md", "Usage guide"),
     ("performance", "docs/performance.md", "Performance"),
+    ("perf-history", "docs/perf-history.md", "Perf history"),
     ("api", "docs/api.md", "API reference"),
 ]
 
