@@ -175,6 +175,18 @@ def _eval_kernel(plan, block, inline_consts, hoisted, *args):
             return (v if v is not None else hoisted[i]), False
         return env[ref[1]]
 
+    def _ones_aval(aval):
+        s = tuple(getattr(aval, "shape", ()))
+        return (len(s) >= 2 and s[0] == block
+                and all(d == 1 for d in s[1:]))
+
+    def _mat(v, aval):
+        # re-expand an ALIASED batched scalar (see broadcast_in_dim
+        # below) to its rotated aval shape for structural consumers
+        if np.ndim(v) == 1 and len(aval.shape) >= 2:
+            return jnp.reshape(v, (1,) * (len(aval.shape) - 1) + (block,))
+        return v
+
     for v, a in zip(plan.invars, args):
         env[v] = a if isinstance(a, tuple) else (a, True)
 
@@ -195,10 +207,38 @@ def _eval_kernel(plan, block, inline_consts, hoisted, *args):
                     f"{params}")
         out_bool = any(v.aval.dtype == jnp.bool_ for v in eqn.outvars)
         batched = any(inbat)
+        # ALIASED batched scalars: a rank-1 (block,) value whose aval is
+        # (block, 1, ..., 1) — produced by the broadcast_in_dim /
+        # reshape-to-all-ones elision below (no Mosaic op emitted for
+        # those nodes; _select/_merge's per-leaf pred reshapes are ~190
+        # such nodes per step). Eltwise ops whose OUTPUT is all-ones run
+        # on (block,) values; structural ops re-expand via _mat.
+        any_alias = any(b and np.ndim(v) == 1 and len(av.shape) >= 2
+                        for v, b, av in zip(invals, inbat, eqn.in_avals))
+        out_ones = (len(eqn.outvars) == 1
+                    and _ones_aval(eqn.outvars[0].aval))
+
+        def _squash(v):
+            # ones-regime operand -> (block,) or scalar
+            if np.ndim(v) <= 1:
+                return v
+            s = np.shape(v)
+            if int(np.prod(s[:-1])) == 1 and s[-1] == block:
+                return jnp.reshape(v, (block,))
+            return jnp.reshape(v, ())
+
+        def _elt_ins():
+            a = _align_eltwise(invals, inbat, eqn)
+            if any_alias and out_ones:
+                return [_squash(v) for v in a]
+            if any_alias:
+                return [_mat(v, av) if (b and np.ndim(v) == 1
+                                        and len(av.shape) >= 2) else v
+                        for v, b, av in zip(a, inbat, eqn.in_avals)]
+            return a
 
         if name in _CMP_PRIMS:
-            a = _align_eltwise(invals, inbat, eqn)
-            out = [prim.bind(*a, **params).astype(_i32)]
+            out = [prim.bind(*_elt_ins(), **params).astype(_i32)]
         elif name == "not":
             # bool-free convention: a BOOL not is x ^ 1 on its i32 0/1
             # carrier; a genuine integer not is the bitwise complement
@@ -208,10 +248,10 @@ def _eval_kernel(plan, block, inline_consts, hoisted, *args):
             else:
                 out = [~invals[0]]
         elif name == "select_n" and eqn.in_avals[0].dtype == jnp.bool_:
-            a = _align_eltwise(invals, inbat, eqn)
+            a = _elt_ins()
             out = [prim.bind(a[0] != 0, *a[1:], **params)]
         elif name in _ELTWISE_PRIMS:
-            out = [prim.bind(*_align_eltwise(invals, inbat, eqn), **params)]
+            out = [prim.bind(*_elt_ins(), **params)]
         elif name == "convert_element_type":
             src_bool = eqn.in_avals[0].dtype == jnp.bool_
             if params["new_dtype"] == jnp.bool_:
@@ -226,6 +266,12 @@ def _eval_kernel(plan, block, inline_consts, hoisted, *args):
             obat = batched or (len(oshape) > 0 and oshape[0] == block)
             if not obat:
                 out = [prim.bind(*invals, **params)]
+            elif (len(oshape) >= 2 and oshape[0] == block
+                  and all(d == 1 for d in oshape[1:]) and inbat[0]):
+                # batched scalar -> (block, 1, ..., 1): ALIAS (no op);
+                # the value stays (block,)
+                out = [invals[0] if np.ndim(invals[0]) == 1
+                       else jnp.reshape(invals[0], (block,))]
             else:
                 r = len(oshape)
                 assert oshape[0] == block, (oshape, block)
@@ -235,13 +281,15 @@ def _eval_kernel(plan, block, inline_consts, hoisted, *args):
                     # batched operand: its orig dim 0 (batch) sits last in
                     # the rotated layout and maps to the rotated batch slot
                     assert obd and obd[0] == 0, (obd,)
+                    val = _mat(invals[0], eqn.in_avals[0])
                     nbd = tuple(o - 1 for o in obd[1:]) + (r - 1,)
                 else:
                     # constant operand broadcast INTO the batch: feature
                     # dims shift down one; nothing maps to the batch slot
                     assert 0 not in obd, (obd,)
+                    val = invals[0]
                     nbd = tuple(o - 1 for o in obd)
-                out = [jax.lax.broadcast_in_dim(invals[0], nshape, nbd)]
+                out = [jax.lax.broadcast_in_dim(val, nshape, nbd)]
         elif name in ("reduce_sum", "reduce_max", "reduce_min",
                       "reduce_prod", "reduce_and", "reduce_or"):
             if not batched:
@@ -249,7 +297,7 @@ def _eval_kernel(plan, block, inline_consts, hoisted, *args):
             else:
                 axes = params["axes"]
                 assert 0 not in axes, "batch axis is never reduced"
-                out = [prim.bind(invals[0],
+                out = [prim.bind(_mat(invals[0], eqn.in_avals[0]),
                                  **{**params,
                                     "axes": tuple(a - 1 for a in axes)})]
         elif name == "reshape":
@@ -259,24 +307,35 @@ def _eval_kernel(plan, block, inline_consts, hoisted, *args):
                 ns = tuple(params["new_sizes"])
                 assert params.get("dimensions") is None
                 assert ns and ns[0] == block, ns
-                # trailing-batch reshape commutes: linear index =
-                # feat_lin * block + env on both sides
-                out = [jax.lax.reshape(invals[0], ns[1:] + (block,))]
+                if (np.ndim(invals[0]) == 1
+                        and (len(ns) == 1
+                             or all(d == 1 for d in ns[1:]))):
+                    out = [invals[0]]          # alias identity
+                else:
+                    # trailing-batch reshape commutes: linear index =
+                    # feat_lin * block + env on both sides
+                    out = [jax.lax.reshape(
+                        _mat(invals[0], eqn.in_avals[0]),
+                        ns[1:] + (block,))]
         elif name == "squeeze":
             if not batched:
                 out = [prim.bind(*invals, **params)]
             else:
                 dims = params["dimensions"]
                 assert 0 not in dims
-                out = [prim.bind(invals[0],
-                                 dimensions=tuple(d - 1 for d in dims))]
+                if np.ndim(invals[0]) == 1:
+                    out = [invals[0]]          # alias identity
+                else:
+                    out = [prim.bind(invals[0],
+                                     dimensions=tuple(d - 1
+                                                      for d in dims))]
         elif name == "slice":
             if not batched:
                 out = [prim.bind(*invals, **params)]
             else:
                 st, li = params["start_indices"], params["limit_indices"]
                 sd = params["strides"] or (1,) * len(st)
-                out = [jax.lax.slice(invals[0],
+                out = [jax.lax.slice(_mat(invals[0], eqn.in_avals[0]),
                                      tuple(st[1:]) + (st[0],),
                                      tuple(li[1:]) + (li[0],),
                                      tuple(sd[1:]) + (sd[0],))]
@@ -286,7 +345,9 @@ def _eval_kernel(plan, block, inline_consts, hoisted, *args):
             else:
                 d = params["dimension"]
                 assert d != 0, "batch axis is never concatenated"
-                out = [prim.bind(*invals, dimension=d - 1)]
+                vals = [_mat(v, av) if b else v
+                        for v, b, av in zip(invals, inbat, eqn.in_avals)]
+                out = [prim.bind(*vals, dimension=d - 1)]
         elif name == "dot_general":
             ((lc, rc), (lb, rb)) = params["dimension_numbers"]
             assert not lb and not rb, "batched dot_general not in step"
