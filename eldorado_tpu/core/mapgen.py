@@ -278,21 +278,34 @@ def _try_add_random(s: MapGenState, pid, active):
     crot = rots[:, :, 0] % 6                   # (P,21) candidate rotation
     cbase = (nsize * 6 + crot) * 3             # (P,21) partial table index
 
-    def slot_overlap(f, over):
-        # cand (e,k) vs placed slot f: d = cand_center - placed_center
-        d = coords - s.entry_center[f]         # (P,21,2)
-        dx, dy = d[..., 0], d[..., 1]
-        inr = (jnp.abs(dx) <= _OVL_DMAX) & (jnp.abs(dy) <= _OVL_DMAX)
-        idx = ((cbase + psize[f]) * 6 + s.entry_rot[f]) * _OVL_ND \
-            + jnp.clip(dx + _OVL_DMAX, 0, _OVL_ND - 1)
-        w = _OVL_TBL[idx.reshape(-1)].reshape(MAX_PLACED, 21)
-        hit = inr & (((w >> jnp.clip(dy + _OVL_DMAX, 0, 31)) & 1) > 0)
-        return over | hit
+    # Nested LIVE-bounded pair loop (candidate-source e, placed f): only
+    # rows e < n_entries hold real candidates, so the earlier per-f
+    # (MAX_PLACED, 21) gather fetched MAX_PLACED/n_e (~8x) dead rows —
+    # the overlap fori was 94% of the whole trip body (5.1 of
+    # 5.4 ms/trip at 128-wide queues, tools/tpu_mapgen_profile.py).
+    # Per inner iteration: one (21,) word gather; total gathered volume
+    # n_e^2 x 21 instead of n_e x MAX_PLACED x 21; one (21,) row write
+    # per outer iteration.
+    def row_overlap(e, over):
+        ce = coords[e]                          # (21, 2)
+        cb = cbase[e]                           # (21,)
 
-    # dynamic bound: gathered volume scales with LIVE entries (a 3-piece
-    # map has <= 6 of MAX_PLACED=16 slots); the static (16,21,16) cube
-    # form pays 16/n_e more gather tax (9 ms/trip at 128 envs, measured)
-    overlap = jax.lax.fori_loop(0, s.n_entries, slot_overlap,
+        def one_placed(f, hit):
+            d = ce - s.entry_center[f]          # (21, 2)
+            dx, dy = d[..., 0], d[..., 1]
+            inr = (jnp.abs(dx) <= _OVL_DMAX) & (jnp.abs(dy) <= _OVL_DMAX)
+            idx = ((cb + psize[f]) * 6 + s.entry_rot[f]) * _OVL_ND \
+                + jnp.clip(dx + _OVL_DMAX, 0, _OVL_ND - 1)
+            w = _OVL_TBL[idx]
+            return hit | (inr
+                          & (((w >> jnp.clip(dy + _OVL_DMAX, 0, 31)) & 1)
+                             > 0))
+
+        row = jax.lax.fori_loop(0, s.n_entries, one_placed,
+                                jnp.zeros((21,), bool))
+        return over.at[e].set(row)
+
+    overlap = jax.lax.fori_loop(0, s.n_entries, row_overlap,
                                 jnp.zeros((MAX_PLACED, 21), bool))
     ok = live & ~overlap
 
@@ -367,13 +380,25 @@ def generate_map(rng_state, n_pieces, difficulty) -> MapGenOut:
     difficulty = jnp.asarray(difficulty, _i32)
 
     def body(s: MapGenState) -> MapGenState:
-        # One FLAT trip of the reference's recursive generator. A vmapped
-        # lax.switch evaluates every branch and selects, so the original
-        # 4-branch form paid TWO _try_add_random candidate scans (travel
-        # piece + end piece) per trip; here the branches share ONE gated
-        # attempt — the rng draws are gated per branch (_uid_maybe with
-        # mutually-exclusive conditions), so each branch's stream
-        # consumption is bit-identical to the switch form.
+        return _trip(s, n_pieces, difficulty)
+
+    def cond(s: MapGenState):
+        return ~(s.finished | s.aborted)
+
+    s = jax.lax.while_loop(cond, body, s)
+    return _finalize(s)
+
+
+def _trip(s: MapGenState, n_pieces, difficulty) -> MapGenState:
+    """One FLAT trip of the reference's recursive generator. A vmapped
+    lax.switch evaluates every branch and selects, so the original
+    4-branch form paid TWO _try_add_random candidate scans (travel
+    piece + end piece) per trip; here the branches share ONE gated
+    attempt — the rng draws are gated per branch (_uid_maybe with
+    mutually-exclusive conditions), so each branch's stream
+    consumption is bit-identical to the switch form. Module-level so
+    tools/tpu_mapgen_profile.py can time it in isolation."""
+    if True:
         is_entry = s.pc == _ENTRY
         is_loop = s.pc == _LOOP
         is_end = s.pc == _END
@@ -440,11 +465,8 @@ def generate_map(rng_state, n_pieces, difficulty) -> MapGenOut:
             (is_pop & at_root, s._replace(finished=jnp.bool_(True))),
             (is_pop & ~at_root, popped))
 
-    def cond(s: MapGenState):
-        return ~(s.finished | s.aborted)
 
-    s = jax.lax.while_loop(cond, body, s)
-
+def _finalize(s: MapGenState) -> MapGenOut:
     # final rasterisation (src/map.cpp:389-405): scatter-max over
     # (slot << 7 | features) gives last-writer-wins per cell.
     slot = jnp.arange(HEX_SLOTS)
