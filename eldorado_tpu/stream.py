@@ -170,7 +170,7 @@ def stream_rollout(states, sampler_rngs, n_steps: int, chunk: int = 1500,
                    interpret: bool = False, ring=None,
                    steps_per_push: int = 100, consume=None,
                    deliver: str = "ring", device_fn=None,
-                   device_carry=None):
+                   device_carry=None, exact: bool = False):
     """High-throughput rollout that DELIVERS the per-step feed.
 
     Same auto-reset semantics as ``rollout_chunked(backend="kernel",
@@ -193,11 +193,20 @@ def stream_rollout(states, sampler_rngs, n_steps: int, chunk: int = 1500,
       folded over each chunk's blocked (chunk, nb, 5, block) records ON
       DEVICE, the way a co-located JAX learner consumes the feed.
       Returns (states, rngs, episodes, device_carry).
+
+    ``exact=True`` uses the frozen-finisher mode (engine
+    fused_sample_step gate_dead): finished envs consume no sampler
+    draws until their reset lands, so per-env record sequences with
+    dead steps excluded are bit-exact vs the reference's continuous
+    same-step auto-reset streams (a dead step repeats the frozen
+    post-episode record with done=1; consumers drop them via the done
+    flag). The last tuple element gains the dead-step count.
     """
     from . import vec as V
     from .errors import GenerateMapFailure, MapCapacityError
     n = int(states.rng.shape[0])
-    progs = V._kernel_programs(states, mask_src, block, interpret)
+    progs = V._kernel_programs(states, mask_src, block, interpret,
+                               gate_dead=exact)
     if deliver == "ring":
         assert chunk % steps_per_push == 0, (chunk, steps_per_push)
         if ring is None:
@@ -243,10 +252,13 @@ def stream_rollout(states, sampler_rngs, n_steps: int, chunk: int = 1500,
     if np.asarray(states.done).any():
         states, k = V.reset_done_bucketed(states)
         episodes += k
-    if deliver == "device":
-        return states, sampler_rngs, episodes, device_carry
-    consumer.finish()
-    return states, sampler_rngs, episodes, consumer
+    sink = device_carry if deliver == "device" else None
+    if deliver == "ring":
+        consumer.finish()
+        sink = consumer
+    if exact:
+        return states, sampler_rngs, episodes, sink, int(counters[3])
+    return states, sampler_rngs, episodes, sink
 
 
 def _drain(dev_buf, ring, steps_per_push):

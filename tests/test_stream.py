@@ -119,6 +119,40 @@ def test_device_consumer_matches_host():
         assert (hist[h] == want_h).all(), h
 
 
+def test_stream_exact_matches_exact_chunked():
+    """exact=True streams the frozen-finisher trajectories: final state,
+    episodes, and dead counts equal rollout_chunked(exact=True), and
+    per-env records with dead steps dropped are continuous."""
+    _native_or_skip()
+    n, T = 8, 200
+    s0 = vec.vec_reset(5, n, 4, 1, 0, 30)
+    r0 = vec.sampler_init(11, n)
+    collected = []
+    sS, rS, epsS, cons, deadS = stream.stream_rollout(
+        s0, r0, T, chunk=50, block=8, interpret=True, steps_per_push=25,
+        consume=lambda r: collected.append(r.copy()), exact=True)
+    sC, rC, epsC, deadC = vec.rollout_chunked(
+        s0, r0, T, 50, backend="kernel", block=8, interpret=True,
+        exact=True)
+    assert (epsS, deadS) == (epsC, deadC) and epsS > 0 and deadS > 0
+    for name in E.EnvState._fields:
+        assert (np.asarray(getattr(sS, name))
+                == np.asarray(getattr(sC, name))).all(), name
+    rec = np.concatenate(collected)
+    got = stream.unpack_records(rec)
+    # dead steps repeat the frozen post-episode STATE (done stays set;
+    # the action field is the sampler's draw-free deterministic value)
+    dead_mask = np.zeros((T, n), bool)
+    # done at entry AND still done at exit == dead step (a cleared done
+    # right after a chunk boundary is the new episode's first live step)
+    dead_mask[1:] = got["done"][:-1] & got["done"][1:]
+    prev, cur = rec[:-1], rec[1:]
+    state_same = ((cur[..., 1:] == prev[..., 1:]).all(axis=-1)
+                  & ((cur[..., 0] >> 25) == (prev[..., 0] >> 25)))
+    assert state_same[dead_mask[1:]].all()
+    assert dead_mask.sum() == deadS
+
+
 def test_stream_with_resets_matches_chunked():
     """With episodes ending mid-run, the streaming driver preserves the
     queued-sync auto-reset semantics of rollout_chunked exactly."""

@@ -11,6 +11,12 @@ Variants (true dependency chains, 100-step scan):
               (should equal A minus end transposes)
 
 Usage: python tools/tpu_carry_probe.py [--envs 4096] [--block 256]
+
+NOTE (round 4): jax.block_until_ready does NOT synchronise
+through this environment's device tunnel and identical dispatches
+are memoised — figures from this probe's original methodology are
+unreliable; prefer tools/tpu_true_step_cost.py (host-
+materialisation barriers + step-count differencing).
 """
 import argparse
 import os

@@ -51,8 +51,8 @@ def main():
         jax.block_until_ready(sk.rng)
         print(f"kernel compile+run ({args.steps} steps): "
               f"{time.time()-t0:.1f}s", flush=True)
-        sx, rx, (ax, dx, rwx, agx) = rollout(states, rngs, args.steps,
-                                             "storage", "none")
+        sx, rx, (ax, dx, rwx, agx, *_rest) = rollout(
+            states, rngs, args.steps, "storage", "none")
         jax.block_until_ready(sx.rng)
         ok = True
         for name in E.EnvState._fields:

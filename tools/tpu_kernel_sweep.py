@@ -1,5 +1,11 @@
 #!/usr/bin/env python3
-"""Block-size / batch sweep for the fused kernel on the real chip."""
+"""Block-size / batch sweep for the fused kernel on the real chip.
+NOTE (round 4): jax.block_until_ready does NOT synchronise
+through this environment's device tunnel and identical dispatches
+are memoised — figures from this probe's original methodology are
+unreliable; prefer tools/tpu_true_step_cost.py (host-
+materialisation barriers + step-count differencing).
+"""
 import argparse
 import os
 import sys

@@ -7,6 +7,12 @@ body just copies input refs to output refs. The difference between this and
 the real kernel separates per-DMA/launch overhead from vector-op compute.
 
 Usage: python tools/tpu_null_kernel.py [--envs 4096] [--block 512]
+
+NOTE (round 4): jax.block_until_ready does NOT synchronise
+through this environment's device tunnel and identical dispatches
+are memoised — figures from this probe's original methodology are
+unreliable; prefer tools/tpu_true_step_cost.py (host-
+materialisation barriers + step-count differencing).
 """
 import argparse
 import os

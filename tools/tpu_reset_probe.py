@@ -7,6 +7,12 @@ device costs ~ms per op and would swamp the measurement otherwise — and
 every timed call gets FRESH seeds with a per-call block: the axon tunnel
 memoises repeated identical (executable, input) calls, which makes naive
 timing loops read ~100x too fast.
+
+NOTE (round 4): jax.block_until_ready does NOT synchronise
+through this environment's device tunnel and identical dispatches
+are memoised — figures from this probe's original methodology are
+unreliable; prefer tools/tpu_true_step_cost.py (host-
+materialisation barriers + step-count differencing).
 """
 import os
 import sys

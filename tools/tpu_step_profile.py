@@ -8,6 +8,12 @@ Times, each jitted separately over a lax.scan of --iters iterations:
   4. XLA step                    (rollout step, for reference)
 
 Usage: python tools/tpu_step_profile.py [--envs 4096] [--block 512]
+
+NOTE (round 4): jax.block_until_ready does NOT synchronise
+through this environment's device tunnel and identical dispatches
+are memoised — figures from this probe's original methodology are
+unreliable; prefer tools/tpu_true_step_cost.py (host-
+materialisation barriers + step-count differencing).
 """
 import argparse
 import os
