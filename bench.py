@@ -48,18 +48,30 @@ if "--mesh" in sys.argv:
 
 import jax  # noqa: E402
 
+# sitecustomize imports jax before this file can set the env var, so the
+# persistent compilation cache must be enabled via config (see
+# tests/conftest.py)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
 BASELINE_STEPS_PER_SEC = 10_000_000.0
 
 
 def _prewarm_resets(states, n_envs):
-    """Compile the bucketed-reset program the kernel path's final sweep
-    uses (128 finishers per 1500-step chunk at 4096 envs) so a ~15 s
-    compile never lands inside the timed region."""
+    """Compile the bucketed-reset programs the kernel path's final sweep
+    can use (the reset-queue capacity scales with the batch) so a
+    multi-second compile never lands inside the timed region."""
     import jax.numpy as jnp
-    from eldorado_tpu.vec import _reset_bucket
-    b = min(128, n_envs)
-    warm = _reset_bucket(states, jnp.zeros(b, jnp.int32), b)
-    jax.block_until_ready(warm.rng)
+    from eldorado_tpu.vec import _RESET_BUCKETS, _reset_bucket
+    q = min(1024, max(128, n_envs // 32))
+    warm_buckets = {min(128, n_envs)}
+    for b in _RESET_BUCKETS:
+        if b >= q:
+            warm_buckets.add(min(b, n_envs))
+            break
+    for b in sorted(warm_buckets):
+        warm = _reset_bucket(states, jnp.zeros(b, jnp.int32), b)
+        jax.block_until_ready(warm.rng)
 
 
 def run_config(envs, chunk, chunks, players, pieces, difficulty, backend,

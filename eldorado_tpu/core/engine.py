@@ -923,14 +923,17 @@ def w3_words_all(s: EnvState):
 
 
 def pack_ball_word_table(map_obs):
-    """(48,48,7) map obs -> (2304, 4) i32 cell-major rows: row c is
-    exactly ball_words' payload for a player standing at cell c — w0..w2
-    the 19-cell ball ids, w3 the six 1-hop ids + own is_end (the
-    w3_cache row format). Cell-major rows let the rollout read the whole
-    step's map dependence as ONE contiguous-row gather per env: XLA TPU
-    row gathers cost ~12 ns per ROW nearly independent of row width,
-    vs ~13 ns per ELEMENT for scalar-element gathers (4x, measured —
-    tools/tpu_gather_model.py).
+    """(48,48,7) map obs -> (72, 128) i32 tile-packed cell rows: cell
+    c's 4 words (w0..w2 the 19-cell ball ids, w3 the six 1-hop ids +
+    own is_end — the w3_cache row format) live at row c >> 5, lanes
+    [(c & 31) * 4, +4). Cell-major rows let the rollout read the whole
+    step's map dependence as ONE contiguous-row gather per env (XLA TPU
+    row gathers cost ~9-12 ns per ROW nearly independent of width, vs
+    ~13 ns per ELEMENT — tools/tpu_gather_model.py), and the 128-lane
+    minor dim keeps the STORED table compact: XLA TPU tiles the last
+    two dims T(8,128), so a (n, 2304, 4) layout silently padded its
+    4-wide minor to 128 lanes — 32x the memory, 4.8 GB at 4096 envs
+    and an out-of-memory wall at 16384.
 
     Stencil construction: every _BALL offset is even in both doubled
     coordinates and every hex in a connected map shares both coordinate
@@ -975,7 +978,18 @@ def pack_ball_word_table(map_obs):
     for i in range(6):
         w3 = w3 | (plane(1 + i) << (5 * i))
     w3 = w3 | (end << 30)
-    return jnp.stack([ws[0], ws[1], ws[2], w3.reshape(-1)], axis=-1)
+    rows = jnp.stack([ws[0], ws[1], ws[2], w3.reshape(-1)], axis=-1)
+    return rows.reshape(GRIDSIZE * GRIDSIZE // 32, 128)
+
+
+def select_ball_words(row128, lane_base):
+    """Pick cell c's 4 packed words out of its gathered 128-lane table
+    row (pack_ball_word_table layout): ``row128`` (..., 128),
+    ``lane_base`` (...,) = (c & 31) * 4. Sign-safe one-hot reduction
+    (word bits reach the i32 sign position)."""
+    w = lane_base[..., None] + jnp.arange(4, dtype=_i32)       # (..., 4)
+    oh = jnp.arange(128, dtype=_i32) == w[..., None]           # (...,4,128)
+    return jnp.sum(jnp.where(oh, row128[..., None, :], 0), axis=-1)
 
 
 def _ball_at_p(ball_p, k):

@@ -275,10 +275,11 @@ class _KernelPrograms:
             bparams = jnp.stack(
                 [states.n_players, states.n_pieces, states.difficulty,
                  states.max_steps], axis=-1)           # (n, 4) reset params
-            # cell-major (n, 2304, 4) rows: the scan body reads the whole
-            # step's map dependence as ONE contiguous-row gather at the
-            # agent's cell (~12 ns/row vs ~13 ns/element for the old
-            # 4-element scalar gather — tools/tpu_gather_model.py)
+            # tile-packed (n, 72, 128) cell rows: the scan body reads the
+            # whole step's map dependence as ONE contiguous 128-lane row
+            # gather at the agent's cell (~9 ns/row vs ~13 ns/element for
+            # the old 4-element scalar gather) and the 128-lane minor dim
+            # keeps the stored table compact (see pack_ball_word_table)
             bctx = (tabs,
                     t_in(states.min_xy), t_in(states.n_players),
                     t_in(states.max_steps), bparams)
@@ -290,18 +291,17 @@ class _KernelPrograms:
         block_in = jax.jit(_block_in)
 
         def _scan(bctx, bdyn, brngs, n_steps, want_traj):
-            # The per-step map read is ONE contiguous-row gather of the
-            # agent's 4-word table row (engine.pack_ball_word_table):
-            # XLA TPU row gathers cost ~12 ns/row nearly independent of
-            # width, vs ~13 ns/ELEMENT for scalar-element gathers — one
-            # (n,)-row gather is ~4x cheaper than the 4-element form
-            # (tools/tpu_gather_model.py). The next agent's one-hop word
+            # The per-step map read is ONE contiguous 128-lane row gather
+            # at the agent's cell (engine.pack_ball_word_table's
+            # tile-packed layout; ~9 ns/row) followed by a one-hot lane
+            # select of the cell's 4 words. The next agent's one-hop word
             # comes from the in-state w3_cache (engine.ball_words).
             tab, bmin, bnp, bms, _ = bctx
-            tab2 = tab.reshape(n * GRID2, 4)
+            NROW = E.GRIDSIZE * E.GRIDSIZE // 32       # 72 rows/env
+            tab2 = tab.reshape(n * NROW, 128)
             nb = n // block
             ebase = t_in(jnp.arange(n, dtype=jnp.int32)
-                         * GRID2)[:, 0]
+                         * NROW)[:, 0]
 
             def body(carry, _):
                 bdyn, brngs, dead = carry
@@ -318,11 +318,15 @@ class _KernelPrograms:
                     xy = sum(jnp.where(idx == j, bxy[:, j], 0)
                              for j in range(4))        # (nb, 2, block)
                     c = ((xy - bmin) >> 1) + 1
-                    return (jnp.clip(c[:, 0] * E.GRIDSIZE + c[:, 1],
-                                     0, GRID2 - 1) + ebase)[:, None, :]
+                    return jnp.clip(c[:, 0] * E.GRIDSIZE + c[:, 1],
+                                    0, GRID2 - 1)[:, None, :]
 
-                rows = cell_of(a).reshape(n)           # env-order rows
-                g = tab2.at[rows].get(mode="promise_in_bounds")  # (n, 4)
+                cell = cell_of(a)                      # (nb, 1, block)
+                rows = ((cell[:, 0] >> 5) + ebase).reshape(n)
+                g128 = tab2.at[rows].get(
+                    mode="promise_in_bounds")          # (n, 128)
+                g = E.select_ball_words(
+                    g128, (cell.reshape(n) & 31) * 4)  # (n, 4)
                 g = jnp.moveaxis(g.reshape(nb, block, 4), -1, 1)
                 bball = (g[:, 0:1], g[:, 1:2], g[:, 2:3], g[:, 3:4])
                 bdyn, brngs, bact = fused.blocked(bdyn, brngs, bball,
@@ -397,7 +401,12 @@ class _KernelPrograms:
         feat_sizes = [max(1, int(np.prod(f))) for _, f, _ in feat]
         MAPW = E.GRIDSIZE * E.GRIDSIZE * 7 // 4
         i32 = jnp.int32
-        Q = min(128, n)
+        # reset-queue capacity per chunk boundary: 128 covers the
+        # ~117 finishers/chunk at 4096 envs; larger batches finish
+        # proportionally more episodes per boundary, and a starved queue
+        # leaves a growing done backlog dead-stepping (observed: 8% of
+        # 16384 envs done at rollout end with Q=128)
+        Q = min(n, 1024, max(128, n // 32))
 
         def qstate_init():
             return (jnp.zeros((n // block, 1, block), i32),   # in-flight
@@ -530,7 +539,7 @@ class _KernelPrograms:
                 flat = x.reshape(-1).at[_col_idx(bi, lane, F)].set(
                     seg.astype(x.dtype), mode="drop")
                 new_bdyn.append(flat.reshape(x.shape))
-            trows = jax.vmap(E.pack_ball_word_table)(map_rows)  # (Q,2304,4)
+            trows = jax.vmap(E.pack_ball_word_table)(map_rows)  # (Q,72,128)
             tab = tab.at[idxs].set(trows, mode="drop")
             bmin = bmin.reshape(-1).at[_col_idx(bi, lane, 2)].set(
                 minxy, mode="drop").reshape(bmin.shape)

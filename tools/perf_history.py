@@ -68,6 +68,9 @@ def _sha():
 
 
 def run(out_dir):
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
     suite = _suite()
     results = {}
     for cls_name, meth, combo, attrs in GRID:

@@ -24,6 +24,11 @@ os.environ.setdefault(
                  ".jax_cache_tpu"))
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ["JAX_COMPILATION_CACHE_DIR"])
+
 import jax.numpy as jnp
 import numpy as np
 

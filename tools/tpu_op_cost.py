@@ -34,6 +34,11 @@ os.environ.setdefault(
 import functools
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ["JAX_COMPILATION_CACHE_DIR"])
+
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl

@@ -22,6 +22,11 @@ os.environ.setdefault(
                  ".jax_cache_tpu"))
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ["JAX_COMPILATION_CACHE_DIR"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,9 +63,10 @@ def main():
                            donate_argnums=(1, 2))
         def run(bctx, bdyn, brngs, n_steps):
             tab, bmin, bnp, bms, _ = bctx
-            tab2 = tab.reshape(n * GRID2, 4)
+            NROW = GRID2 // 32
+            tab2 = tab.reshape(n * NROW, 128)
             nb = n // block
-            ebase = t_in(jnp.arange(n, dtype=jnp.int32) * GRID2)[:, 0]
+            ebase = t_in(jnp.arange(n, dtype=jnp.int32) * NROW)[:, 0]
 
             def body(carry, _):
                 bdyn, brngs = carry
@@ -72,11 +78,14 @@ def main():
                         xy = sum(jnp.where(idx == j, bxy[:, j], 0)
                                  for j in range(4))
                         c = ((xy - bmin) >> 1) + 1
-                        return (jnp.clip(c[:, 0] * E.GRIDSIZE + c[:, 1],
-                                         0, GRID2 - 1) + ebase)[:, None, :]
+                        return jnp.clip(c[:, 0] * E.GRIDSIZE + c[:, 1],
+                                        0, GRID2 - 1)[:, None, :]
 
-                    rows = cell_of(a).reshape(n)
-                    g = tab2.at[rows].get(mode="promise_in_bounds")
+                    cell = cell_of(a)
+                    rows = ((cell[:, 0] >> 5) + ebase).reshape(n)
+                    g128 = tab2.at[rows].get(mode="promise_in_bounds")
+                    g = E.select_ball_words(
+                        g128, (cell.reshape(n) & 31) * 4)
                     g = jnp.moveaxis(g.reshape(nb, block, 4), -1, 1)
                     bball = (g[:, 0:1], g[:, 1:2], g[:, 2:3], g[:, 3:4])
                 else:
