@@ -40,4 +40,4 @@ __all__ = [
     "stream_rollout",
 ]
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"
