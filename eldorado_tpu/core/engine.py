@@ -913,13 +913,7 @@ def w3_words_all(s: EnvState):
     """Every player's packed one-hop word at their current position —
     the w3_cache contents (see pack_ball_words). Reset-path helper;
     single-env, vmap for batches."""
-    req, nr, end = _ball_cells(s)                              # (4, 19)
-    ids = cell_type_ids(req, nr, end)
-    # id fields first, end bit last (XLA fold bug — see pack_ball_words)
-    w3 = jnp.zeros_like(ids[:, 0])
-    for i in range(6):
-        w3 = w3 | (ids[:, 1 + i] << (5 * i))
-    return w3 | (end[:, 0] << 30)                              # (4,)
+    return w3_words_from_cells(*_ball_cells(s))                # (4,)
 
 
 def pack_ball_word_table(map_obs):
@@ -1092,36 +1086,86 @@ def _player_reset(s: EnvState, p):
         s.storage_masks, p, s.sel_mask))
 
 
-def reset_env(s: EnvState) -> EnvState:
-    """cog_env::reset (src/environment.cpp:42-64). Map generation consumes a
-    copy of the engine; deck draws continue from the caller's stream."""
-    gen = generate_map(s.rng, s.n_pieces, s.difficulty)
+def _update_observation_ball(s: EnvState, agent, ball):
+    """_update_observation against pregathered ball rows (req, nr, end),
+    each (4, 19) — the gather-free form the reset kernel uses. With no
+    prior hop (m_eff = 0) _movement_mask_row probes exactly the six
+    one-hop cells _movement_mask reads from the map."""
+    req, nr, end = ball
+    oh = _oh(agent, _IOTA4[:, None])
+    row = (jnp.sum(jnp.where(oh, req, 0), axis=0),
+           jnp.sum(jnp.where(oh, nr, 0), axis=0),
+           jnp.sum(jnp.where(oh, end, 0), axis=0))
+    mv = _movement_mask_row(row, jnp.asarray(0, _i32), s.resources,
+                            _get1(s.n_active, agent, _IOTA4).astype(_i32))
+    m = _obs_mask(_wrow(s.storage_masks, agent), s.phase,
+                  mv, _shop_available(s, s.resources[2]))
+    return s._replace(
+        storage_masks=_put_row(s.storage_masks, agent, m))
+
+
+def w3_words_from_cells(req, nr, end):
+    """pack_ball_words' w3 for every player from pregathered (4, 19)
+    ball rows (see w3_words_all)."""
+    ids = cell_type_ids(req, nr, end)
+    w3 = jnp.zeros_like(ids[:, 0])
+    for i in range(6):
+        w3 = w3 | (ids[:, 1 + i] << (5 * i))
+    return w3 | (end[:, 0] << 30)                              # (4,)
+
+
+def reset_body(s: EnvState, player_xy, ball) -> EnvState:
+    """Everything in cog_env::reset AFTER map generation, with the map
+    reads pregathered: ``player_xy`` (4, 2) already gated by
+    add_players' bounds, ``ball`` the (req, nr, end) (4, 19) rows at
+    those positions. While-free and gather-free, so the reset queue can
+    run it as one fused Pallas program (ops/step_kernel.make_fused_reset)
+    — the XLA form dispatches ~1.5k tiny ops per call (~16 ms at
+    128-wide queues). Touches only DYN fields."""
     s = s._replace(
         agent=jnp.asarray(0, _i32),
-        phase=jnp.asarray(int(TurnPhase.INACTIVE), _i32),
-        map_obs=gen.obs, min_xy=gen.min_xy,
-        map_ok=gen.ok, map_overflow=gen.overflow)
+        phase=jnp.asarray(int(TurnPhase.INACTIVE), _i32))
 
-    def pbody(p, s):
-        return _select(p < s.n_players, _player_reset(s, p), s)
-    s = jax.lax.fori_loop(0, MAX_N_PLAYERS, pbody, s, unroll=True)
+    for p in range(MAX_N_PLAYERS):
+        s = _select(p < s.n_players, _player_reset(s, p), s)
 
-    # add_players (src/map.cpp:343-354, oracle-patched bounds)
-    gate = ((gen.player_start_no > 0)
-            & (gen.player_start_no < s.n_players + 1)
-            & (_IOTA4 < s.n_players))
-    s = s._replace(player_xy=jnp.where(gate[:, None], gen.player_start_xy, 0))
+    s = s._replace(player_xy=player_xy)
 
     # Shop::reset (src/cards.cpp:94-100): n_in_market untouched
     s = s._replace(shop_stock=jnp.full(18, 3, _u8), in_market=_SHOP_MKT0,
                    done=jnp.bool_(False), turn_counter=jnp.asarray(0, _i32))
 
-    def obody(p, s):
-        return _select(p < s.n_players, _update_observation(s, p), s)
-    s = jax.lax.fori_loop(0, MAX_N_PLAYERS, obody, s, unroll=True)
+    for p in range(MAX_N_PLAYERS):
+        s = _select(p < s.n_players,
+                    _update_observation_ball(s, p, ball), s)
     return s._replace(
         sel_mask=_wrow(s.storage_masks, s.agent),
-        w3_cache=w3_words_all(s))
+        w3_cache=w3_words_from_cells(*ball))
+
+
+def reset_map_prelude(rng, n_pieces, difficulty, n_players):
+    """Map generation + add_players gating + the ball pregather — the
+    while-heavy / map-reading half of cog_env::reset. Returns
+    (gen, player_xy, ball) for reset_body."""
+    gen = generate_map(rng, n_pieces, difficulty)
+    # add_players (src/map.cpp:343-354, oracle-patched bounds)
+    gate = ((gen.player_start_no > 0)
+            & (gen.player_start_no < n_players + 1)
+            & (_IOTA4 < n_players))
+    player_xy = jnp.where(gate[:, None], gen.player_start_xy, 0)
+    ball = _ball_cells_xy(gen.obs, gen.min_xy, player_xy)
+    return gen, player_xy, ball
+
+
+def reset_env(s: EnvState) -> EnvState:
+    """cog_env::reset (src/environment.cpp:42-64). Map generation consumes a
+    copy of the engine; deck draws continue from the caller's stream."""
+    gen, player_xy, ball = reset_map_prelude(s.rng, s.n_pieces,
+                                             s.difficulty, s.n_players)
+    s = s._replace(
+        map_obs=gen.obs, min_xy=gen.min_xy,
+        map_ok=gen.ok, map_overflow=gen.overflow)
+    return reset_body(s, player_xy, ball)
 
 
 def reset_env_full(s: EnvState, seed, n_players, n_pieces, difficulty,

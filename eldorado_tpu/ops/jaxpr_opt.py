@@ -267,12 +267,20 @@ def _fold(nodes, pool, block):
                     repl[ov] = ("k", pool.add(np.asarray(o)))
                 continue
             try:
-                out = node.prim.bind(*[jnp.asarray(v) for v in vals],
-                                     **node.params)
-                if not node.prim.multiple_results:
-                    out = [out]
+                # ensure_compile_time_eval: plan builds can run INSIDE an
+                # outer jit trace (the lazily-built reset kernel), where
+                # a bare eager bind would return tracers — np.asarray
+                # then throws and every fallback fold silently fails,
+                # leaving kernel-unlowerable nodes (e.g. scatter)
+                # symbolic
+                with jax.ensure_compile_time_eval():
+                    out = node.prim.bind(*[jnp.asarray(v) for v in vals],
+                                         **node.params)
+                    if not node.prim.multiple_results:
+                        out = [out]
+                    out = [np.asarray(o) for o in out]
                 for ov, o in zip(node.outvars, out):
-                    repl[ov] = ("k", pool.add(np.asarray(o)))
+                    repl[ov] = ("k", pool.add(o))
                 continue
             except Exception:
                 pass  # unfoldable prim: keep symbolic

@@ -384,6 +384,169 @@ def _eval_kernel(plan, block, inline_consts, hoisted, *args):
     return [read(r) for r in plan.outrefs]
 
 
+def _reset_values(feat, *flat):
+    """Pure (values -> values) reset body on one env block (see
+    _step_values): engine.reset_body vmapped over the block, consuming
+    the pregathered add_players positions and ball rows instead of the
+    map. The mapgen/finalize stage stays in XLA (its trip loop is
+    while-heavy); this kernel covers the other ~half of the reset event
+    — ~1.5k tiny ops that cost ~16 ms per 128-wide queue as dispatched
+    XLA."""
+    n_dyn = len(feat)
+    dyn = list(flat[:n_dyn])
+    xy = flat[n_dyn]                       # (b, 4, 2) post-gate positions
+    req = flat[n_dyn + 1]                  # (b, 4, 19)
+    nr = flat[n_dyn + 2]
+    end = flat[n_dyn + 3]
+    n_players = flat[n_dyn + 4]
+
+    b = xy.shape[0]
+    static = (jnp.zeros((b, 1, 1, 7), jnp.uint8),   # map_obs (never read)
+              jnp.zeros((b, 2), _i32),              # min_xy (never read)
+              jnp.ones((b,), bool),                 # map_ok (never read)
+              jnp.zeros((b,), bool),                # map_overflow
+              n_players,
+              jnp.zeros((b,), _i32),                # n_pieces (never read)
+              jnp.zeros((b,), _i32),                # difficulty (never read)
+              jnp.zeros((b,), _i32))                # max_steps (never read)
+    s = E.merge_state(static, tuple(dyn))
+    s = jax.vmap(
+        lambda s1, xy1, r1, n1, e1: E.reset_body(s1, xy1, (r1, n1, e1)))(
+            s, xy, req, nr, end)
+    _, dyn_out = E.split_state(s)
+    return tuple(dyn_out)
+
+
+def make_fused_reset(states, block: int = 128, interpret: bool = False):
+    """Build a fused Pallas program for the post-mapgen reset body:
+    (dyn..., player_xy, ball req/nr/end, n_players) -> dyn'. Callers
+    (vec._KernelPrograms._reset_q) run mapgen + finalize + the ball
+    pregather in XLA and this kernel for everything else. Same evaluator
+    machinery as the step kernel; bit-exact vs jax.vmap(E.reset_body)
+    (tests/test_step_kernel.py)."""
+    n = int(states.rng.shape[0])
+    block = min(block, n)
+    assert n % block == 0, (n, block)
+    feat = _feat_template(states)
+    n_dyn = len(feat)
+
+    _, dyn = E.split_state(states)
+    ex = [jnp.zeros((block,) + x.shape[1:], x.dtype) for x in dyn]
+    ex.append(jnp.zeros((block, 4, 2), _i32))       # player_xy
+    for _ in range(3):
+        ex.append(jnp.zeros((block, 4, E.N_BALL), _i32))  # req/nr/end
+    ex.append(jnp.zeros((block,), _i32))            # n_players
+    body = functools.partial(_reset_values, feat)
+    closed_jaxpr = jax.make_jaxpr(body)(*ex)
+    from .jaxpr_opt import build_plan
+    plan = build_plan(closed_jaxpr, block)
+
+    inline_consts, hoist_idx, uniq = [], {}, []
+    for i, c in enumerate(plan.pool):
+        if c.ndim == 0:
+            v = np.int32(c) if c.dtype == np.bool_ else c[()]
+            inline_consts.append(v)
+        else:
+            inline_consts.append(None)
+            hoist_idx[i] = len(uniq)
+            uniq.append(c)
+    uniq2d = [u[None] if u.ndim < 2 else u for u in uniq]
+    uniq2d = [u.astype(np.int32) if u.dtype == np.bool_ else u
+              for u in uniq2d]
+    assert all(block not in u.shape for u in uniq), \
+        "hoisted constant has a block-sized axis; pick another block size"
+
+    n_in = len(ex)
+    in_meta = ([(len(f) == 0, d == jnp.bool_) for _, f, d in feat]
+               + [(False, False)] * 4 + [(True, False)])
+
+    def kernel(*refs):
+        ins = refs[:n_in]
+        crefs = refs[n_in:n_in + len(uniq)]
+        outs = refs[n_in + len(uniq):]
+        vals = []
+        for r, (scal, is_bool) in zip(ins, in_meta):
+            v = r[...]
+            if scal:
+                v = v[0]
+            vals.append(v)
+        hoisted = {}
+        for i, j in hoist_idx.items():
+            v = crefs[j][...][0] if uniq[j].ndim < 2 else crefs[j][...]
+            hoisted[i] = v
+        results = [p[0] for p in
+                   _eval_kernel(plan, block, inline_consts, hoisted,
+                                *vals)]
+        for r, v, (scal, is_bool) in zip(outs, results, in_meta[:n_dyn]):
+            if v.dtype == jnp.bool_:
+                v = v.astype(_i32)
+            if scal:
+                v = v[None]
+            r[...] = v
+
+    def bspec(shape):
+        bs = (None,) + tuple(int(d) for d in shape[1:])
+        return pl.BlockSpec(bs, lambda i: (i,) + (0,) * (len(bs) - 1),
+                            memory_space=pltpu.VMEM)
+
+    def cspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    nb = n // block
+
+    def _tshape(x):
+        f = tuple(int(d) for d in x.shape[1:])
+        return (nb,) + (f if f else (1,)) + (block,)
+
+    def t_in(x):
+        if x.ndim == 1:
+            return x.reshape(nb, 1, block)
+        x = x.reshape((nb, block) + x.shape[1:])
+        return jnp.moveaxis(x, 1, -1)
+
+    def t_out(o, fshape):
+        if len(fshape) == 0:
+            return o.reshape(n)
+        o = jnp.moveaxis(o, -1, 1)
+        return o.reshape((n,) + tuple(fshape))
+
+    out_shapes_full = [jax.ShapeDtypeStruct(
+        _tshape(x), _i32 if x.dtype == jnp.bool_ else x.dtype)
+        for x in dyn]
+
+    def fused_reset(dyn_leaves, player_xy, ball, n_players):
+        """Env-major (n, f...) in/out; bools handled internally."""
+        ins = [t_in(x.astype(_i32) if x.dtype == jnp.bool_ else x)
+               for x in dyn_leaves]
+        ins.append(t_in(player_xy))
+        for part in ball:
+            ins.append(t_in(jnp.asarray(part, _i32)))
+        ins.append(t_in(n_players))
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=([bspec(x.shape) for x in ins]
+                      + [cspec(u.shape) for u in uniq2d]),
+            out_specs=[bspec(sh.shape) for sh in out_shapes_full],
+            out_shape=out_shapes_full,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(*ins, *uniq2d)
+        new_dyn = []
+        for o, (_, fshape, fdtype) in zip(outs, feat):
+            o = t_out(o, fshape)
+            if fdtype == jnp.bool_:
+                o = o != 0
+            new_dyn.append(o)
+        return tuple(new_dyn)
+
+    return fused_reset
+
+
 def make_fused_step(states, mask_src: str = "storage", block: int = 256,
                     interpret: bool = False, debug: bool = False,
                     gate_dead: bool = False, null_body: bool = False):

@@ -465,7 +465,25 @@ class _KernelPrograms:
         run_q = functools.partial(jax.jit, static_argnums=(4, 5),
                                   donate_argnums=(1, 2, 3))(_run_q)
 
-        def _reset_q(rq):
+        # the reset BODY (everything after mapgen) runs as one fused
+        # Pallas program at queue width — as dispatched XLA its ~1.5k
+        # tiny ops cost ~16 ms per 128-wide event (half the reset tax);
+        # mapgen + rasterisation + the ball pregather stay XLA
+        # (while-heavy / map-reading). Built lazily: _reset_q is only
+        # traced inside run_auto/apply compiles.
+        _fused_reset = {}
+
+        def _get_fused_reset(interp):
+            if interp not in _fused_reset:
+                from .ops.step_kernel import make_fused_reset
+                qt = jax.tree_util.tree_map(
+                    lambda x: jnp.zeros((Q,) + x.shape, x.dtype),
+                    E.make_state(0))
+                _fused_reset[interp] = make_fused_reset(
+                    qt, min(block, Q), interp)
+            return _fused_reset[interp]
+
+        def _reset_q(rq, force_interpret=False):
             """Procgen for one reset queue -> one result buffer
             [idxs(Q), ok, overflow, min_xy(Q,2), map words (Q,MAPW),
             dyn words] (padding slots are duplicate resets of the same
@@ -485,24 +503,22 @@ class _KernelPrograms:
                 if fdtype == jnp.bool_:
                     seg = seg != 0
                 dyn.append(seg)
-            static = (jnp.zeros((Q,) + states.map_obs.shape[1:],
-                                jnp.uint8),
-                      jnp.zeros((Q, 2), i32),
-                      jnp.ones((Q,), bool), jnp.zeros((Q,), bool),
-                      params[:, 0], params[:, 1], params[:, 2],
-                      params[:, 3])
-            s = jax.vmap(E.reset_env)(E.merge_state(static, tuple(dyn)))
-            _, dyn2 = E.split_state(s)
+            n_players_q = params[:, 0]
+            rng_q = dyn[E.DYN_FIELDS.index("rng")]
+            gen, pxy, ball = jax.vmap(E.reset_map_prelude)(
+                rng_q, params[:, 1], params[:, 2], n_players_q)
+            dyn2 = _get_fused_reset(interpret or force_interpret)(
+                tuple(dyn), pxy, ball, n_players_q)
             # padding slots (idx == n) regenerate garbage frozen columns;
             # their results are dropped by apply_q and must not poison
             # the ok/overflow reductions
             valid = idxs < n
             parts = [idxs,
-                     jnp.all(s.map_ok | ~valid).astype(i32)[None],
-                     jnp.any(s.map_overflow & valid).astype(i32)[None],
-                     s.min_xy.reshape(-1),
+                     jnp.all(gen.ok | ~valid).astype(i32)[None],
+                     jnp.any(gen.overflow & valid).astype(i32)[None],
+                     gen.min_xy.reshape(-1),
                      jax.lax.bitcast_convert_type(
-                         s.map_obs.reshape(Q, MAPW, 4), i32).reshape(-1)]
+                         gen.obs.reshape(Q, MAPW, 4), i32).reshape(-1)]
             for x in dyn2:
                 if x.dtype == jnp.bool_:
                     x = x.astype(i32)
@@ -602,7 +618,11 @@ class _KernelPrograms:
         self.run_q = run_q
         self.run_auto = run_auto
         self.reset_q_dev = jax.jit(_reset_q)
-        self.reset_q_cpu = jax.jit(_reset_q, backend="cpu")
+        # the async host path runs the reset on the CPU backend, where
+        # the Pallas reset body must interpret
+        self.reset_q_cpu = jax.jit(
+            functools.partial(_reset_q, force_interpret=True),
+            backend="cpu")
         self.apply_q = apply_q
         self.feat = feat
         # raw (unjitted) bodies, for composition inside shard_map
