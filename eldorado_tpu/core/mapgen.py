@@ -486,12 +486,20 @@ def _finalize(s: MapGenState) -> MapGenOut:
     is_end = (canvas >> 6) & 1
     filled = canvas >= 0
     ncell = GRIDSIZE * GRIDSIZE
-    cellch = jnp.zeros((ncell, 7), _u8)
+    # one-hot channel build, NOT a scatter: the per-cell channel scatter
+    # (2304 rows into a lane-padded (2304, 7) target) cost ~100 ms per
+    # 128-env reset queue on v5e — the single largest reset-event term
+    # (TPU scatters are read-modify-write serialised); the same values
+    # as elementwise one-hot arithmetic are ~free. Channel ch = req+1
+    # is in [1, 5] for requirement cells, 0 otherwise; channel 6 is
+    # is_end (never collides).
     ch = jnp.where(filled & (req < 5), req + 1, 0)
-    cellch = cellch.at[jnp.arange(ncell), ch].set(
-        jnp.where(filled & (req < 5), n_req, 0).astype(_u8))
-    cellch = cellch.at[:, 6].set(jnp.where(filled, is_end, 0).astype(_u8))
-    obs = cellch.reshape(GRIDSIZE, GRIDSIZE, 7)
+    chval = jnp.where(filled & (req < 5), n_req, 0)
+    iota7 = jnp.arange(7, dtype=_i32)
+    cellch = jnp.where(iota7[None, :] == ch[:, None], chval[:, None], 0)
+    cellch = jnp.where(iota7[None, :] == 6,
+                       jnp.where(filled, is_end, 0)[:, None], cellch)
+    obs = cellch.astype(_u8).reshape(GRIDSIZE, GRIDSIZE, 7)
 
     # add_players inputs: the first four hex slots are the start piece's
     # numbered start hexes (src/map.cpp:343-354); the caller applies the
