@@ -80,7 +80,7 @@ def run_config(envs, chunk, chunks, players, pieces, difficulty, backend,
     from eldorado_tpu.vec import rollout_chunked, sampler_init, vec_reset
 
     states = vec_reset(12345, envs, players, pieces, difficulty, 100000)
-    jax.block_until_ready(states.map_obs)
+    jax.block_until_ready(states.map_ids)
     rngs = sampler_init(42, envs)
 
     if backend == "kernel":
@@ -118,7 +118,7 @@ def run_exact(envs, chunk, chunks, players, pieces, difficulty, block):
     from eldorado_tpu.vec import rollout_chunked, sampler_init, vec_reset
 
     states = vec_reset(12345, envs, players, pieces, difficulty, 100000)
-    jax.block_until_ready(states.map_obs)
+    jax.block_until_ready(states.map_ids)
     rngs = sampler_init(42, envs)
     s, r, _, _ = rollout_chunked(states, rngs, chunk, chunk,
                                  backend="kernel", block=block, exact=True)
@@ -150,7 +150,7 @@ def run_mesh(n_devices, envs, chunk, chunks, players, pieces, difficulty,
     interpret = jax.devices()[0].platform != "tpu"
     mesh = make_mesh(n_devices)
     states = vec_reset(12345, envs, players, pieces, difficulty, 100000)
-    jax.block_until_ready(states.map_obs)
+    jax.block_until_ready(states.map_ids)
     rngs = sampler_init(42, envs)
     block = min(block, envs // n_devices)
     s, r, _ = sharded_kernel_rollout(mesh, states, rngs, chunk, chunk,

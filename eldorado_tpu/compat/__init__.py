@@ -127,8 +127,11 @@ class _DeviceEnv:
         import jax
         E = self._E
         s = jax.device_get(self._state)
+        from ..core import cells as _cells
         self._snap = {
-            "map_obs": np.asarray(s.map_obs, np.uint8),
+            # cold boundary: expand the id plane to the reference-ABI
+            # (48,48,7) u8 layout on the host (core/cells.py)
+            "map_obs": _cells.expand_obs_np(s.map_ids)[0],
             "player_xy": np.asarray(s.player_xy),
             "min_xy": np.asarray(s.min_xy),
         }

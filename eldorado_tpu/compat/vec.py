@@ -77,16 +77,18 @@ class VecEnvCompat:
         s = self._v.states
         n = self.n_envs
         from .. import native
+        from ..core import cells as _cells
+        map_u8 = _cells.expand_obs_np(np.asarray(s.map_ids))
         if native.available():
             # one-pass native packing into the reference ObsData layout
             packed = native.pack_obs(
-                np.asarray(s.map_obs), np.asarray(s.phase),
+                map_u8, np.asarray(s.phase),
                 np.asarray(s.resources), np.asarray(s.shop_stock),
                 np.asarray(s.piles),
                 np.asarray(E.unpack_mask(s.storage_masks)).astype(np.uint8))
             return packed.reshape(-1).view(obs_dtype)
         out = np.zeros(n, obs_dtype)
-        out["shared"]["map"] = np.asarray(s.map_obs)
+        out["shared"]["map"] = map_u8
         out["shared"]["phase"] = np.asarray(s.phase).astype(np.uint8)
         out["shared"]["current_resources"] = np.asarray(s.resources)
         out["shared"]["shop"] = np.asarray(s.shop_stock)

@@ -48,6 +48,7 @@ from ..constants import (
     TurnPhase,
 )
 from ..ops import rng as R
+from . import cells as C
 from . import tables as T
 from .mapgen import generate_map
 
@@ -202,8 +203,12 @@ class EnvState(NamedTuple):
     n_pieces: jnp.ndarray       # i32
     difficulty: jnp.ndarray     # i32
     max_steps: jnp.ndarray      # i32
-    # map
-    map_obs: jnp.ndarray        # (48,48,7) u8
+    # map — canonical flat (2304,) i32 cell-type-id plane (core/cells.py);
+    # cells.expand_obs re-creates the reference-ABI (48,48,7) u8 layout at
+    # cold boundaries (compat, goldens, render) only: the narrow-minor-7
+    # channel layout cost ~105 ms of TPU layout conversion per 128-wide
+    # reset queue when it lived in the state (docs/performance.md round 5)
+    map_ids: jnp.ndarray        # (2304,) i32
     min_xy: jnp.ndarray         # (2,) i32 doubled
     player_xy: jnp.ndarray      # (4,2) i32 doubled
     map_ok: jnp.ndarray         # bool
@@ -437,7 +442,7 @@ def make_state(seed=0, n_players=4, n_pieces=3, difficulty=0,
         n_pieces=jnp.asarray(n_pieces, _i32),
         difficulty=jnp.asarray(difficulty, _i32),
         max_steps=jnp.asarray(max_steps, _i32),
-        map_obs=jnp.zeros((GRIDSIZE, GRIDSIZE, 7), jnp.uint8),
+        map_ids=jnp.zeros((GRIDSIZE * GRIDSIZE,), _i32),
         min_xy=jnp.zeros(2, _i32),
         player_xy=jnp.zeros((4, 2), _i32),
         map_ok=jnp.bool_(True),
@@ -735,97 +740,55 @@ def _shop_available(s: EnvState, coins):
 def _cells(s: EnvState, xy):
     """Hex features at doubled coords xy (..., 2): (req, n_req, is_end).
     Reproduces the reference's size_t truncation of half-integer offsets
-    (src/map.cpp:273-275): d>=0 -> d//2+1; d==-1 -> 1; d<=-2 -> 0."""
+    (src/map.cpp:273-275): d>=0 -> d//2+1; d==-1 -> 1; d<=-2 -> 0.
+    One i32 id gather per point (off-grid reads sentinel id 0), decoded
+    by shift/mask LUT arithmetic — no 7-channel layout anywhere."""
     d = xy - s.min_xy
     idx = jnp.where(d >= 0, (d >> 1) + 1, jnp.where(d == -1, 1, 0))
     ix, iy = idx[..., 0], idx[..., 1]
     in_grid = (ix >= 0) & (ix < GRIDSIZE) & (iy >= 0) & (iy < GRIDSIZE)
-    cell = s.map_obs[jnp.clip(ix, 0, GRIDSIZE - 1),
-                     jnp.clip(iy, 0, GRIDSIZE - 1)].astype(_i32)
-    cell = jnp.where(in_grid[..., None], cell, 0)
-    reqch = cell[..., 1:6]                             # (...,5)
-    present = reqch > 0
-    req = jnp.argmax(present, axis=-1)
-    has = jnp.any(present, axis=-1)
-    req = jnp.where(has, req, 5)
-    # exactly one requirement channel is nonzero per cell, so the masked max
-    # IS that channel's value — no gather needed
-    n_req = jnp.max(jnp.where(present, reqch, 0), axis=-1)
-    return req, n_req, cell[..., 6]
+    lin = (jnp.clip(ix, 0, GRIDSIZE - 1) * GRIDSIZE
+           + jnp.clip(iy, 0, GRIDSIZE - 1))
+    tid = jnp.where(in_grid, s.map_ids[lin], 0)
+    return _decode_cells(tid)
 
 
 def _ball_cells(s: EnvState):
     """Pregather (req, n_req, is_end) for every player's 19-cell 2-hop ball
-    from the map observation. Single-env; vmap for batches. This is the
+    from the map id plane. Single-env; vmap for batches. This is the
     step's entire map read set (move target, movement masks after at most
     one hop, end-of-game check)."""
-    return _ball_cells_xy(s.map_obs, s.min_xy, s.player_xy)
+    return _ball_cells_xy(s.map_ids, s.min_xy, s.player_xy)
 
 
-def _ball_cells_xy(map_obs, min_xy, player_xy):
-    """_ball_cells from explicit (map_obs, min_xy, player_xy) — the only
+def _ball_cells_xy(map_ids, min_xy, player_xy):
+    """_ball_cells from explicit (map_ids, min_xy, player_xy) — the only
     state it reads. Lets rollout drivers that keep the rest of the state in
-    a kernel-native layout pregather from just the positions."""
+    a kernel-native layout pregather from just the positions. One id
+    gather per ball point (76 elements/env vs 532 in the 7-channel
+    layout), decoded by LUT shifts."""
     tgt = player_xy[:, None, :] + _BALL[None, :, :]            # (4,19,2)
     d = tgt - min_xy
     idx = jnp.where(d >= 0, (d >> 1) + 1, jnp.where(d == -1, 1, 0))
     ix, iy = idx[..., 0], idx[..., 1]
     in_grid = (ix >= 0) & (ix < GRIDSIZE) & (iy >= 0) & (iy < GRIDSIZE)
-    cell = map_obs[jnp.clip(ix, 0, GRIDSIZE - 1),
-                   jnp.clip(iy, 0, GRIDSIZE - 1)].astype(_i32)
-    cell = jnp.where(in_grid[..., None], cell, 0)
-    reqch = cell[..., 1:6]
-    present = reqch > 0
-    req = jnp.where(jnp.any(present, axis=-1),
-                    jnp.argmax(present, axis=-1), 5)
-    n_req = jnp.max(jnp.where(present, reqch, 0), axis=-1)
-    return req, n_req, cell[..., 6]                            # each (4,19)
+    lin = (jnp.clip(ix, 0, GRIDSIZE - 1) * GRIDSIZE
+           + jnp.clip(iy, 0, GRIDSIZE - 1))
+    tid = jnp.where(in_grid, map_ids[lin], 0)
+    return _decode_cells(tid)                                  # each (4,19)
 
 
 # ---- cell-type encoding ----------------------------------------------
-# The obs raster only ever contains hexes from the fixed piece library
-# (src/map.cpp:113-152 terrain prototypes): 18 distinct (requirement,
-# n_required, is_end) triples, plus the empty/sentinel cell (5, 0, 0).
-# 5-bit type ids (sentinel = id 0, so zero padding reads as sentinel) let
-# a player's whole 19-cell ball ride in three i32 words — the step's map
-# read shrinks to 4 gathered words/env (XLA dependent-gather costs
-# ~9-14 ns/element on TPU, so gathered volume is the rollout's wall).
-_CELL_TRIPLES = [(5, 0, 0)] + sorted(
-    {tuple(int(x) for x in h[:3])
-     for h in T.PIECE_HEX[T.PIECE_HEX_VALID.astype(bool)]} - {(5, 0, 0)})
-N_CELL_TYPES = len(_CELL_TRIPLES)
-assert N_CELL_TYPES <= 32, _CELL_TRIPLES
-# decode LUTs bit-packed into scalar ints: variable-shift extraction is
-# kernel-safe (Mosaic), a (19,)-table gather is not
-_REQ_L0 = sum(_CELL_TRIPLES[i][0] << (3 * i) for i in range(10))
-_REQ_L1 = sum(_CELL_TRIPLES[i][0] << (3 * (i - 10))
-              for i in range(10, N_CELL_TYPES))
-_NR_L0 = sum(_CELL_TRIPLES[i][1] << (3 * i) for i in range(10))
-_NR_L1 = sum(_CELL_TRIPLES[i][1] << (3 * (i - 10))
-             for i in range(10, N_CELL_TYPES))
-_END_L = sum(_CELL_TRIPLES[i][2] << i for i in range(N_CELL_TYPES))
-
-
-def cell_type_ids(req, nr, end):
-    """(req, n_req, is_end) -> 5-bit cell-type id, elementwise. A
-    compare-select chain, NOT a LUT gather: XLA TPU gathers cost
-    ~13 ns/element, which turned the (n, 2304)-cell table build into a
-    125 ms fixed cost per rollout call (measured)."""
-    key = (req << 4) | (nr << 1) | end
-    out = jnp.zeros_like(key)
-    for i, (r, n, e) in enumerate(_CELL_TRIPLES[1:], start=1):
-        out = jnp.where(key == ((r << 4) | (n << 1) | e), i, out)
-    return out
-
-
-def _decode_cells(ids):
-    """5-bit type ids -> (req, n_req, is_end), any shape. Pure shift/mask
-    arithmetic against bit-packed scalar LUTs — no gather, kernel-safe."""
-    lo = ids < 10
-    s3 = 3 * jnp.where(lo, ids, ids - 10)
-    req = jnp.where(lo, _REQ_L0 >> s3, _REQ_L1 >> s3) & 7
-    nr = jnp.where(lo, _NR_L0 >> s3, _NR_L1 >> s3) & 7
-    return req, nr, (_END_L >> ids) & 1
+# Canonical map representation: the 5-bit cell-type-id plane (see
+# core/cells.py — moved there so mapgen can emit ids directly). The
+# names below are re-exported for the existing engine surface.
+cell_type_ids = C.cell_type_ids
+_decode_cells = C.decode_cells
+expand_obs = C.expand_obs
+ids_from_obs = C.ids_from_obs
+_CELL_TRIPLES = C._CELL_TRIPLES
+N_CELL_TYPES = C.N_CELL_TYPES
+_END_L = C._END_L
 
 
 def pack_ball_words(pids, pend0):
@@ -900,12 +863,11 @@ def ball_words(s: EnvState):
     ONE player's row of the (4, 19) pregather is consumed — rollout
     drivers gather one contiguous 4-word row per env per step
     (pack_ball_word_table). Single-env; vmap for batches."""
-    req, nr, end = _ball_cells(s)                              # (4, 19)
-    ids = cell_type_ids(req, nr, end)
+    ids = _ball_ids_xy(s.map_ids, s.min_xy, s.player_xy)       # (4, 19)
     p = s.agent
     oh_p = _oh(p, _IOTA4[:, None])
     pids = jnp.max(jnp.where(oh_p, ids, 0), axis=0)            # (19,)
-    pend0 = jnp.max(jnp.where(oh_p[:, 0], end[:, 0], 0))
+    pend0 = (_END_L >> jnp.max(jnp.where(oh_p[:, 0], ids[:, 0], 0))) & 1
     return pack_ball_words(pids, pend0)
 
 
@@ -916,8 +878,21 @@ def w3_words_all(s: EnvState):
     return w3_words_from_cells(*_ball_cells(s))                # (4,)
 
 
-def pack_ball_word_table(map_obs):
-    """(48,48,7) map obs -> (72, 128) i32 tile-packed cell rows: cell
+def _ball_ids_xy(map_ids, min_xy, player_xy):
+    """Every player's 19-cell ball as raw cell-type ids (4, 19) — the
+    id-plane gather of _ball_cells_xy without the triple decode."""
+    tgt = player_xy[:, None, :] + _BALL[None, :, :]            # (4,19,2)
+    d = tgt - min_xy
+    idx = jnp.where(d >= 0, (d >> 1) + 1, jnp.where(d == -1, 1, 0))
+    ix, iy = idx[..., 0], idx[..., 1]
+    in_grid = (ix >= 0) & (ix < GRIDSIZE) & (iy >= 0) & (iy < GRIDSIZE)
+    lin = (jnp.clip(ix, 0, GRIDSIZE - 1) * GRIDSIZE
+           + jnp.clip(iy, 0, GRIDSIZE - 1))
+    return jnp.where(in_grid, map_ids[lin], 0)
+
+
+def pack_ball_word_table(map_ids):
+    """Flat (2304,) id plane -> (72, 128) i32 tile-packed cell rows: cell
     c's 4 words (w0..w2 the 19-cell ball ids, w3 the six 1-hop ids +
     own is_end — the w3_cache row format) live at row c >> 5, lanes
     [(c & 31) * 4, +4). Cell-major rows let the rollout read the whole
@@ -944,13 +919,8 @@ def pack_ball_word_table(map_obs):
     envs in an earlier layout). The final (2304, 4) stack is a stored
     array, laid out compactly in HBM (verified by bandwidth probe).
     Single-env; vmap for batches."""
-    cell = map_obs.astype(_i32)                                # (48,48,7)
-    reqch = cell[..., 1:6]
-    present = reqch > 0
-    req = jnp.where(jnp.any(present, -1), jnp.argmax(present, -1), 5)
-    nr = jnp.max(jnp.where(present, reqch, 0), -1)
-    end = cell[..., 6]
-    ids = cell_type_ids(req, nr, end)                          # (48,48)
+    ids = map_ids.reshape(GRIDSIZE, GRIDSIZE)
+    end = (_END_L >> ids) & 1
     pad = jnp.pad(ids, 2)                                      # 0 = sentinel
     off = np.asarray(_BALL) // 2
 
@@ -1153,7 +1123,7 @@ def reset_map_prelude(rng, n_pieces, difficulty, n_players):
             & (gen.player_start_no < n_players + 1)
             & (_IOTA4 < n_players))
     player_xy = jnp.where(gate[:, None], gen.player_start_xy, 0)
-    ball = _ball_cells_xy(gen.obs, gen.min_xy, player_xy)
+    ball = _ball_cells_xy(gen.ids, gen.min_xy, player_xy)
     return gen, player_xy, ball
 
 
@@ -1163,7 +1133,7 @@ def reset_env(s: EnvState) -> EnvState:
     gen, player_xy, ball = reset_map_prelude(s.rng, s.n_pieces,
                                              s.difficulty, s.n_players)
     s = s._replace(
-        map_obs=gen.obs, min_xy=gen.min_xy,
+        map_ids=gen.ids, min_xy=gen.min_xy,
         map_ok=gen.ok, map_overflow=gen.overflow)
     return reset_body(s, player_xy, ball)
 
@@ -1564,7 +1534,7 @@ def _step_from_view(s0: EnvState, s: EnvState, v: "PView", p, action,
 # Fields the step never writes (static across steps; only reset touches
 # them). vec.py keeps these out of the lax.scan carry; the Pallas kernel
 # never receives them at all (map reads are pregathered ball cells).
-STATIC_FIELDS = ("map_obs", "min_xy", "map_ok", "map_overflow",
+STATIC_FIELDS = ("map_ids", "min_xy", "map_ok", "map_overflow",
                  "n_players", "n_pieces",
                  "difficulty", "max_steps")
 DYN_FIELDS = tuple(f for f in EnvState._fields if f not in STATIC_FIELDS)

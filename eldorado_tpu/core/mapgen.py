@@ -40,6 +40,7 @@ import numpy as np
 
 from ..constants import GRIDSIZE, MAX_N_PLAYERS
 from ..ops import rng as R
+from . import cells as CE
 from . import tables as T
 
 # capacities (static)
@@ -185,7 +186,8 @@ class MapGenState(NamedTuple):
 
 
 class MapGenOut(NamedTuple):
-    obs: jnp.ndarray          # (48,48,7) u8
+    ids: jnp.ndarray          # (2304,) i32 cell-type-id plane (core/cells.py;
+    #                           cells.expand_obs -> reference (48,48,7) u8)
     min_xy: jnp.ndarray       # (2,) i32 doubled
     player_start_xy: jnp.ndarray  # (MAX_N_PLAYERS, 2) i32 doubled
     player_start_no: jnp.ndarray  # (MAX_N_PLAYERS,) i32 hex start numbers
@@ -485,28 +487,21 @@ def _finalize(s: MapGenState) -> MapGenOut:
     n_req = (canvas >> 3) & 7
     is_end = (canvas >> 6) & 1
     filled = canvas >= 0
-    ncell = GRIDSIZE * GRIDSIZE
-    # one-hot channel build, NOT a scatter: the per-cell channel scatter
-    # (2304 rows into a lane-padded (2304, 7) target) cost ~100 ms per
-    # 128-env reset queue on v5e — the single largest reset-event term
-    # (TPU scatters are read-modify-write serialised); the same values
-    # as elementwise one-hot arithmetic are ~free. Channel ch = req+1
-    # is in [1, 5] for requirement cells, 0 otherwise; channel 6 is
-    # is_end (never collides).
-    ch = jnp.where(filled & (req < 5), req + 1, 0)
-    chval = jnp.where(filled & (req < 5), n_req, 0)
-    iota7 = jnp.arange(7, dtype=_i32)
-    cellch = jnp.where(iota7[None, :] == ch[:, None], chval[:, None], 0)
-    cellch = jnp.where(iota7[None, :] == 6,
-                       jnp.where(filled, is_end, 0)[:, None], cellch)
-    obs = cellch.astype(_u8).reshape(GRIDSIZE, GRIDSIZE, 7)
+    # The canonical output is the flat 5-bit cell-type-id plane
+    # (core/cells.py): a pure compare-select encode of the per-cell
+    # (req, n_req, is_end) triple — no channel raster, no scatter, no
+    # narrow-minor layout. The reference-ABI (48, 48, 7) u8 expansion
+    # (src/map.cpp:389-405's raster shape) happens only at cold API
+    # boundaries via cells.expand_obs; materialising it here cost
+    # ~105 ms of TPU layout conversion per 128-wide reset queue.
+    ids = jnp.where(filled, CE.cell_type_ids(req, n_req, is_end), 0)
 
     # add_players inputs: the first four hex slots are the start piece's
     # numbered start hexes (src/map.cpp:343-354); the caller applies the
     # (0 < start < n_players+1) & (i < n_players) gate.
     pid0 = jnp.where(s.entries[0] >= 0, s.entries[0], 0)
     starts = _PIECE_HEX[pid0, :MAX_N_PLAYERS, 3]
-    return MapGenOut(obs=obs, min_xy=s.min_xy,
+    return MapGenOut(ids=ids, min_xy=s.min_xy,
                      player_start_xy=s.hex_xy[:MAX_N_PLAYERS],
                      player_start_no=starts,
                      ok=~(s.aborted | s.overflow),

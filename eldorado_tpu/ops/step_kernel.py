@@ -80,7 +80,7 @@ def _step_values(feat, mask_src, gate_dead, *flat):
     max_steps = flat[n_dyn + 6]
 
     b = srng.shape[0]
-    static = (jnp.zeros((b, 1, 1, 7), jnp.uint8),   # map_obs (never read)
+    static = (jnp.zeros((b, 1), _i32),              # map_ids (never read)
               jnp.zeros((b, 2), _i32),              # min_xy (never read)
               jnp.ones((b,), bool),                 # map_ok (never read)
               jnp.zeros((b,), bool),                # map_overflow (never read)
@@ -401,7 +401,7 @@ def _reset_values(feat, *flat):
     n_players = flat[n_dyn + 4]
 
     b = xy.shape[0]
-    static = (jnp.zeros((b, 1, 1, 7), jnp.uint8),   # map_obs (never read)
+    static = (jnp.zeros((b, 1), _i32),              # map_ids (never read)
               jnp.zeros((b, 2), _i32),              # min_xy (never read)
               jnp.ones((b,), bool),                 # map_ok (never read)
               jnp.zeros((b,), bool),                # map_overflow

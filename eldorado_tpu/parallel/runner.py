@@ -192,7 +192,7 @@ class _ShardedKernelPrograms:
         def block_in(states, rngs):
             _trace_count[0] += 1
             _, dyn = E.split_state(states)
-            tabs = jax.vmap(E.pack_ball_word_table)(states.map_obs)
+            tabs = jax.vmap(E.pack_ball_word_table)(states.map_ids)
             bparams = jnp.stack(
                 [states.n_players, states.n_pieces, states.difficulty,
                  states.max_steps], axis=-1)

@@ -271,7 +271,7 @@ class _KernelPrograms:
 
         def _block_in(states, rngs):
             _, dyn = _split_state(states)
-            tabs = jax.vmap(E.pack_ball_word_table)(states.map_obs)
+            tabs = jax.vmap(E.pack_ball_word_table)(states.map_ids)
             bparams = jnp.stack(
                 [states.n_players, states.n_pieces, states.difficulty,
                  states.max_steps], axis=-1)           # (n, 4) reset params
@@ -399,7 +399,7 @@ class _KernelPrograms:
         # next boundary (it stays `done`, dead-stepping, until applied).
         import numpy as np
         feat_sizes = [max(1, int(np.prod(f))) for _, f, _ in feat]
-        MAPW = E.GRIDSIZE * E.GRIDSIZE * 7 // 4
+        MAPW = E.GRIDSIZE * E.GRIDSIZE    # flat i32 cell-type-id plane
         i32 = jnp.int32
         # reset-queue capacity per chunk boundary: 128 covers the
         # ~117 finishers/chunk at 4096 envs; larger batches finish
@@ -517,8 +517,7 @@ class _KernelPrograms:
                      jnp.all(gen.ok | ~valid).astype(i32)[None],
                      jnp.any(gen.overflow & valid).astype(i32)[None],
                      gen.min_xy.reshape(-1),
-                     jax.lax.bitcast_convert_type(
-                         gen.obs.reshape(Q, MAPW, 4), i32).reshape(-1)]
+                     gen.ids.reshape(-1)]   # (Q*2304,) i32, layout-free
             for x in dyn2:
                 if x.dtype == jnp.bool_:
                     x = x.astype(i32)
@@ -541,9 +540,7 @@ class _KernelPrograms:
             off = Q + 2
             minxy = buf[off:off + 2 * Q].reshape(Q, 2)
             off += 2 * Q
-            map_rows = jax.lax.bitcast_convert_type(
-                buf[off:off + Q * MAPW].reshape(Q, MAPW), jnp.uint8
-            ).reshape((Q,) + states.map_obs.shape[1:])
+            map_rows = buf[off:off + Q * MAPW].reshape(Q, MAPW)
             off += Q * MAPW
             bi, lane = idxs // block, idxs % block
             new_bdyn = []
@@ -566,7 +563,7 @@ class _KernelPrograms:
                 [counters[0], counters[1] | (1 - ok),
                  counters[2] | over, counters[3]])
             states = states._replace(
-                map_obs=states.map_obs.at[idxs].set(map_rows, mode="drop"),
+                map_ids=states.map_ids.at[idxs].set(map_rows, mode="drop"),
                 min_xy=states.min_xy.at[idxs].set(minxy, mode="drop"),
                 map_ok=states.map_ok.at[idxs].set(ok != 0, mode="drop"),
                 map_overflow=states.map_overflow.at[idxs].set(
@@ -640,7 +637,7 @@ def _kernel_programs(states, mask_src: str = "storage", block: int = 256,
                      gate_dead: bool = False) -> _KernelPrograms:
     n = int(states.rng.shape[0])
     key = (n, mask_src, min(block, n), interpret, gate_dead,
-           tuple(states.map_obs.shape))
+           tuple(states.map_ids.shape))
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = _KernelPrograms(states, mask_src,
                                              min(block, n), interpret,
@@ -817,7 +814,7 @@ class VecEnv:
     def observations(self):
         s = self.states
         return {
-            "map": s.map_obs, "phase": s.phase,
+            "map": jax.vmap(E.expand_obs)(s.map_ids), "phase": s.phase,
             "current_resources": s.resources, "shop": s.shop_stock,
             "piles": s.piles,
             "action_masks": E.unpack_mask(s.storage_masks),

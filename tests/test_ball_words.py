@@ -71,7 +71,7 @@ def test_ball_word_table_matches_ball_words():
     pack_ball_word_table's docstring, verified)."""
     for seed, pieces, diff in [(9, 3, 1), (21, 5, 2)]:
         s = vec.vec_reset(seed, 8, 4, pieces, diff, 100000)
-        tabs = np.asarray(jax.vmap(E.pack_ball_word_table)(s.map_obs))
+        tabs = np.asarray(jax.vmap(E.pack_ball_word_table)(s.map_ids))
         # tile-packed (n, 72, 128) -> logical (n, 2304, 4) cell rows
         tabs = tabs.reshape(tabs.shape[0], 2304, 4)
         words = [np.asarray(w) for w in jax.vmap(E.ball_words)(s)]

@@ -31,7 +31,8 @@ def test_jax_mapgen_matches_oracle(name, n_pieces, diff):
     ok = np.asarray(out.ok)
     assert np.array_equal(ok.astype(np.uint8), d["ok"]), "ok flags"
     good = d["ok"] > 0
-    assert np.array_equal(np.asarray(out.obs)[good], d["obs"][good])
+    obs = np.asarray(jax.vmap(E.expand_obs)(out.ids))
+    assert np.array_equal(obs[good], d["obs"][good])
 
 
 def _select(pred, a, b):
@@ -68,7 +69,7 @@ def parity_rollout(seed, samp_seed, n_players, n_pieces, diff, max_steps, T,
             "rng_tainted": s.rng_tainted,
         }
         if with_map:
-            rec["map"] = s.map_obs
+            rec["map"] = E.expand_obs(s.map_ids)
         return (s, rng), rec
 
     s0 = E.reset_env(E.make_state(seed, n_players, n_pieces, diff, max_steps))
@@ -97,7 +98,7 @@ def test_jax_trajectory_matches_oracle(name, mask_src, max_steps, limit,
     s0, traj = jax.jit(
         lambda: parity_rollout(es, ss, n_players, n_pieces, diff, max_steps,
                                T, mask_src, with_map))()
-    assert np.array_equal(np.asarray(s0.map_obs), d["map0"])
+    assert np.array_equal(np.asarray(E.expand_obs(s0.map_ids)), d["map0"])
     assert np.array_equal(np.asarray(E.unpack_mask(s0.sel_mask)).astype(np.uint8), d["sel0"])
     assert np.array_equal(
         np.asarray(E.unpack_mask(s0.storage_masks)).astype(np.uint8),

@@ -58,7 +58,7 @@ def main():
     from eldorado_tpu.vec import kernel_rollout, sampler_init, vec_reset
 
     states = vec_reset(123, n, 4, 3, 0, 100000)
-    jax.block_until_ready(states.map_obs)
+    jax.block_until_ready(states.map_ids)
     rngs = sampler_init(7, n)
 
     def real(states, rngs):
@@ -81,7 +81,7 @@ def main():
         def run(states, rngs):
             _, dyn0 = E.split_state(states)
             tab = jnp.concatenate(
-                jax.vmap(E.pack_ball_word_table)(states.map_obs),
+                jax.vmap(E.pack_ball_word_table)(states.map_ids),
                 axis=1).reshape(-1)
             bdyn0 = tuple(
                 t_in(x.astype(jnp.int32) if x.dtype == jnp.bool_ else x)

@@ -25,7 +25,7 @@ def time_cfg(envs, block, steps, backend="kernel"):
     from eldorado_tpu.vec import kernel_rollout, rollout, sampler_init, vec_reset
     states = vec_reset(12345, envs, 4, 3, 0, 100000)
     rngs = sampler_init(42, envs)
-    jax.block_until_ready(states.map_obs)
+    jax.block_until_ready(states.map_ids)
 
     def go(n):
         if backend == "kernel":

@@ -51,7 +51,7 @@ def main():
     n, block, T = args.envs, args.block, args.steps
     nb = n // block
     states = vec_reset(123, n, 4, 3, 0, 100000)
-    jax.block_until_ready(states.map_obs)
+    jax.block_until_ready(states.map_ids)
     rngs = sampler_init(7, n)
 
     feat = K._feat_template(states)

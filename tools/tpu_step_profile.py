@@ -56,7 +56,7 @@ def main():
 
     n = args.envs
     states = vec_reset(123, n, 4, 3, 0, 100000)
-    jax.block_until_ready(states.map_obs)
+    jax.block_until_ready(states.map_ids)
     rngs = sampler_init(7, n)
     T = args.steps
 
