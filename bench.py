@@ -135,6 +135,38 @@ def run_exact(envs, chunk, chunks, players, pieces, difficulty, block):
     return (total - dead) / dt, episodes, dead / total
 
 
+def run_reset_free(envs, players, pieces, difficulty, block):
+    """Steady-state step rate with NO reset machinery in the loop: the
+    blocked kernel scan alone (progs.run), timed by step-count
+    differencing with fresh sampler streams and host-materialisation
+    barriers (the axon tunnel memoises identical dispatches and
+    block_until_ready does not sync through it — docs/performance.md
+    round-4 measurement correction). This is the denominator of the
+    with-resets/reset-free ratio the docs quote."""
+    import jax.numpy as jnp
+    import numpy as np
+    from eldorado_tpu.vec import _kernel_programs, sampler_init, vec_reset
+
+    states = vec_reset(123, envs, players, pieces, difficulty, 100000)
+    progs = _kernel_programs(states, "storage", min(block, envs), False)
+
+    def timed(steps, seed):
+        rngs = sampler_init(seed, envs)
+        bctx, bdyn, brngs = progs.block_in(states, rngs)
+        np.asarray(jnp.sum(brngs))          # land inputs
+        t0 = time.perf_counter()
+        _, _, _, dead, _ = progs.run(bctx, bdyn, brngs, steps, False)
+        np.asarray(dead)                    # the only real sync
+        return time.perf_counter() - t0
+
+    s1, s2 = 200, 800
+    timed(s1, 1)
+    timed(s2, 2)                            # warm both program lengths
+    t1 = min(timed(s1, s) for s in (11, 12, 13))
+    t2 = min(timed(s2, s) for s in (14, 15, 16))
+    return envs * (s2 - s1) / (t2 - t1)
+
+
 def run_mesh(n_devices, envs, chunk, chunks, players, pieces, difficulty,
              block):
     """sharded_kernel_rollout over an n_devices mesh (real chips when
@@ -262,6 +294,17 @@ def main():
         except Exception as e:
             print(f"exact mode failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
+    if backend == "kernel":
+        # reset-free denominator (the docs' headline ratio is
+        # with-resets / reset-free; capture both in the driver artifact)
+        try:
+            rf = run_reset_free(args.envs, args.players, args.pieces,
+                                args.difficulty, min(args.block, args.envs))
+            line["reset_free_env_steps_per_sec"] = round(rf, 1)
+            line["with_resets_vs_reset_free"] = round(sps / rf, 4)
+        except Exception as e:
+            print(f"reset-free probe failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
     if backend == "kernel" and not args.no_stream:
         # the per-step learner feed (eldorado_tpu.stream): packed 5-word
         # records per env per step off the kernel scan, consumed (a) ON
@@ -285,6 +328,21 @@ def main():
                 block=min(args.block, args.envs), deliver="device")
             dev_sps = int(_np.asarray(carry[0])) / (time.time() - t0)
             line["stream_device_env_steps_per_sec"] = round(dev_sps, 1)
+            # the FULL observation feed (40-word records: actor piles,
+            # shop, storage rows — stream.RECORD_WORDS_FULL), consumed
+            # on device; chunk shrinks to keep the (chunk, nb, 40,
+            # block) trajectory buffer ~200 MB
+            fchunk = min(args.chunk, 300)
+            S.stream_rollout(st, rg, fchunk, fchunk,
+                             block=min(args.block, args.envs),
+                             deliver="device", record="full")
+            t0 = time.time()
+            _, _, _, fcarry = S.stream_rollout(
+                st, rg, fchunk * 5, fchunk,
+                block=min(args.block, args.envs),
+                deliver="device", record="full")
+            fdev = int(_np.asarray(fcarry[0])) / (time.time() - t0)
+            line["stream_full_device_env_steps_per_sec"] = round(fdev, 1)
             t0 = time.time()
             _, _, _, cons = S.stream_rollout(
                 st, rg, args.chunk, args.chunk,

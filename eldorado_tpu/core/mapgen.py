@@ -55,6 +55,9 @@ MAX_DEPTH = 5            # == MAX_FAILURES
 # than corrupting state (tests/test_map_capacity.py sweeps the grid).
 MAX_PLACED = 48
 HEX_SLOTS = MAX_PLACED * 37
+# unconditional-trip prefix of generate_map's hybrid loop harness: the
+# failure-free trip count for the default n_pieces=3 (see generate_map)
+TRIP_HINT = 7
 
 # pc codes
 _ENTRY, _LOOP, _END, _POP = 0, 1, 2, 3
@@ -68,6 +71,18 @@ _u8 = jnp.uint8
 _ROT = jnp.asarray(T.ROT, _i32)                        # (6,2,2)
 _PIECE_XY = jnp.asarray(T.PIECE_XY, _i32)              # (20,37,2)
 _PIECE_VALID = jnp.asarray(T.PIECE_HEX_VALID)          # (20,37)
+# per-axis planes + feature-packed table for the finalize-time hex
+# reconstruction (split components keep every batched gather/eltwise op
+# rank <= 3 — rank-4 shapes degrade ~1000x on TPU)
+_PIECE_X = jnp.asarray(T.PIECE_XY[:, :, 0], _i32)      # (20,37)
+_PIECE_Y = jnp.asarray(T.PIECE_XY[:, :, 1], _i32)      # (20,37)
+_PIECE_PACKED = jnp.asarray(                           # (20,37) req|nr<<3|end<<6
+    T.PIECE_HEX[:, :, 0] | (T.PIECE_HEX[:, :, 1] << 3)
+    | (T.PIECE_HEX[:, :, 2] << 6), _i32)
+_ROT00 = jnp.asarray(T.ROT[:, 0, 0], _i32)             # (6,) row-major
+_ROT01 = jnp.asarray(T.ROT[:, 0, 1], _i32)
+_ROT10 = jnp.asarray(T.ROT[:, 1, 0], _i32)
+_ROT11 = jnp.asarray(T.ROT[:, 1, 1], _i32)
 _PIECE_SIZE = jnp.asarray(T.PIECE_SIZE, _i32)
 _PIECE_TYPE = jnp.asarray(T.PIECE_TYPE, _i32)
 _PIECE_HEX = jnp.asarray(T.PIECE_HEX, _i32)            # (20,37,4)
@@ -94,6 +109,10 @@ _DIFF_MASK = jnp.asarray(
 # no grid, no clipping, no empirical capacity margins.
 _OVL_DMAX = 12           # max |center delta| with any overlap (asserted)
 _OVL_ND = 2 * _OVL_DMAX + 1
+# static placed-slot window for the VECTORISED pair test: covers every
+# fresh (non-retry-stacked) generation — 2 + n_pieces placements for the
+# standard configs; the rare stacked case falls back to the pair loop
+_OVL_W = 6
 
 
 def _build_pair_overlap():
@@ -165,10 +184,11 @@ class MapGenState(NamedTuple):
     #                            test must see each placement's own frame)
     entry_center: jnp.ndarray  # (MAX_PLACED, 2) i32 center at placement
     n_entries: jnp.ndarray     # i32
-    hex_xy: jnp.ndarray        # (HEX_SLOTS, 2) i32
-    hex_feat: jnp.ndarray      # (HEX_SLOTS, 3) i32 (req, n_req, is_end)
-    hex_valid: jnp.ndarray     # (HEX_SLOTS,) bool
-    n_hex: jnp.ndarray         # i32 (multiple of 37: fixed stride per piece)
+    # NO per-hex arrays: a placement's 37 hexes are a pure function of
+    # (pid, rot, center), so _finalize reconstructs them from the entry
+    # slots. Carrying (HEX_SLOTS, ·) arrays through the trip loop cost
+    # ~10-14 ms per 128-wide reset event (vmapped dynamic_update_slice
+    # writes + per-iteration loop-carry traffic, measured round 5).
     min_xy: jnp.ndarray        # (2,) i32
     max_xy: jnp.ndarray        # (2,) i32
     piece_rot: jnp.ndarray     # (20,) i32
@@ -225,11 +245,6 @@ def _add_piece(s: MapGenState, pid, coord, rot) -> MapGenState:
     entries = s.entries.at[slot].set(pid)
     entry_rot = s.entry_rot.at[slot].set(rot6)
     entry_center = s.entry_center.at[slot].set(coord)
-    off = jnp.minimum(s.n_hex, HEX_SLOTS - 37)
-    hex_xy = jax.lax.dynamic_update_slice(s.hex_xy, pxy, (off, jnp.int32(0)))
-    hex_feat = jax.lax.dynamic_update_slice(
-        s.hex_feat, _PIECE_HEX[pid, :, :3], (off, jnp.int32(0)))
-    hex_valid = jax.lax.dynamic_update_slice(s.hex_valid, valid, (off,))
 
     big = jnp.int32(1 << 20)
     vmin = jnp.min(jnp.where(valid[:, None], pxy, big), axis=0)
@@ -237,8 +252,6 @@ def _add_piece(s: MapGenState, pid, coord, rot) -> MapGenState:
     return s._replace(
         entries=entries, entry_rot=entry_rot, entry_center=entry_center,
         n_entries=s.n_entries + 1,
-        hex_xy=hex_xy, hex_feat=hex_feat, hex_valid=hex_valid,
-        n_hex=jnp.minimum(s.n_hex + 37, HEX_SLOTS),
         min_xy=jnp.minimum(s.min_xy, vmin), max_xy=jnp.maximum(s.max_xy, vmax),
         piece_rot=s.piece_rot.at[pid].set(rot6),
         piece_center=s.piece_center.at[pid].set(coord),
@@ -280,14 +293,42 @@ def _try_add_random(s: MapGenState, pid, active):
     crot = rots[:, :, 0] % 6                   # (P,21) candidate rotation
     cbase = (nsize * 6 + crot) * 3             # (P,21) partial table index
 
-    # Nested LIVE-bounded pair loop (candidate-source e, placed f): only
-    # rows e < n_entries hold real candidates, so the earlier per-f
-    # (MAX_PLACED, 21) gather fetched MAX_PLACED/n_e (~8x) dead rows —
-    # the overlap fori was 94% of the whole trip body (5.1 of
-    # 5.4 ms/trip at 128-wide queues, tools/tpu_mapgen_profile.py).
-    # Per inner iteration: one (21,) word gather; total gathered volume
-    # n_e^2 x 21 instead of n_e x MAX_PLACED x 21; one (21,) row write
-    # per outer iteration.
+    # Pair test, two regimes (identical results, golden-verified):
+    #
+    # * n_entries <= _OVL_W (every non-retry map — a fresh generation
+    #   places 2 + n_pieces <= 6 pieces for the standard configs): ONE
+    #   vectorised (W*21, W) gather + rank-3 elementwise test. The
+    #   dynamic nested pair fori this replaces dispatched ~8 tiny ops
+    #   per (e, f) iteration — sum over a 7-trip generation of n_e^2
+    #   iterations ~ 40+ sequential iterations, ~4 of the ~5 ms/trip at
+    #   128-wide reset queues (measured round 5).
+    # * n_entries > _OVL_W (retry stacking piled maps past the window —
+    #   rare): the live-bounded nested pair loop, whose bounds are ZERO
+    #   for every lane in the vector regime (a vmapped fori over a
+    #   traced bound runs max-lane iterations, so the common case pays
+    #   only its cond).
+    #
+    # Coordinates stay split per axis: stacking (x, y) would make every
+    # elementwise op rank-4, which XLA TPU degrades ~1000x on.
+    cw = coords[:_OVL_W].reshape(_OVL_W * 21, 2)     # (W*21, 2)
+    cbw = cbase[:_OVL_W].reshape(_OVL_W * 21)        # (W*21,)
+    fx = s.entry_center[:_OVL_W, 0]                  # (W,)
+    fy = s.entry_center[:_OVL_W, 1]
+    dx = cw[:, 0:1] - fx[None, :]                    # (W*21, W)
+    dy = cw[:, 1:2] - fy[None, :]
+    inr = (jnp.abs(dx) <= _OVL_DMAX) & (jnp.abs(dy) <= _OVL_DMAX)
+    idxw = ((cbw[:, None] + psize[:_OVL_W][None, :]) * 6
+            + s.entry_rot[:_OVL_W][None, :]) * _OVL_ND \
+        + jnp.clip(dx + _OVL_DMAX, 0, _OVL_ND - 1)
+    ww = _OVL_TBL[idxw]                              # (W*21, W) gather
+    hitw = inr & (((ww >> jnp.clip(dy + _OVL_DMAX, 0, 31)) & 1) > 0)
+    fval = jnp.arange(_OVL_W) < jnp.minimum(s.n_entries, _OVL_W)
+    vec_rows = jnp.any(hitw & fval[None, :], axis=1).reshape(_OVL_W, 21)
+    overlap_vec = jnp.zeros((MAX_PLACED, 21), bool).at[:_OVL_W].set(
+        vec_rows)
+
+    use_loop = s.n_entries > _OVL_W
+
     def row_overlap(e, over):
         ce = coords[e]                          # (21, 2)
         cb = cbase[e]                           # (21,)
@@ -307,8 +348,11 @@ def _try_add_random(s: MapGenState, pid, active):
                                 jnp.zeros((21,), bool))
         return over.at[e].set(row)
 
-    overlap = jax.lax.fori_loop(0, s.n_entries, row_overlap,
-                                jnp.zeros((MAX_PLACED, 21), bool))
+    overlap_loop = jax.lax.fori_loop(
+        0, jnp.where(use_loop, s.n_entries, 0), row_overlap,
+        jnp.zeros((MAX_PLACED, 21), bool))
+    overlap = jnp.where(jnp.reshape(use_loop, (1, 1)), overlap_loop,
+                        overlap_vec)
     ok = live & ~overlap
 
     flat_ok = ok.reshape(-1)
@@ -330,8 +374,6 @@ def _map_clear(s: MapGenState) -> MapGenState:
     return s._replace(
         entries=jnp.full_like(s.entries, -1),
         n_entries=jnp.zeros_like(s.n_entries),
-        hex_valid=jnp.zeros_like(s.hex_valid),
-        n_hex=jnp.zeros_like(s.n_hex),
         min_xy=jnp.zeros_like(s.min_xy),
         max_xy=jnp.zeros_like(s.max_xy))
 
@@ -363,10 +405,6 @@ def generate_map(rng_state, n_pieces, difficulty) -> MapGenOut:
         entry_rot=jnp.zeros((MAX_PLACED,), _i32),
         entry_center=jnp.zeros((MAX_PLACED, 2), _i32),
         n_entries=jnp.int32(0),
-        hex_xy=jnp.zeros((HEX_SLOTS, 2), _i32),
-        hex_feat=jnp.zeros((HEX_SLOTS, 3), _i32),
-        hex_valid=jnp.zeros((HEX_SLOTS,), bool),
-        n_hex=jnp.int32(0),
         min_xy=jnp.zeros((2,), _i32), max_xy=jnp.zeros((2,), _i32),
         piece_rot=jnp.zeros((20,), _i32),
         piece_center=jnp.zeros((20, 2), _i32),
@@ -387,6 +425,15 @@ def generate_map(rng_state, n_pieces, difficulty) -> MapGenOut:
     def cond(s: MapGenState):
         return ~(s.finished | s.aborted)
 
+    # Hybrid harness: a failure-free generation takes exactly
+    # n_pieces + 4 trips (entry, n_pieces picks, the at-end transition,
+    # the end piece, pop), so the first TRIP_HINT trips run as an
+    # UNCONDITIONAL fori — under vmap, a while_loop masks every state
+    # leaf (incl. the (HEX_SLOTS, 2) hex arrays) per iteration per lane,
+    # measured ~11 ms of the 44 ms 7-trip loop at 128-wide queues; the
+    # fori needs no masking because _trip no-ops on finished/aborted
+    # lanes (the ``alive`` gate above). The while then covers retries.
+    s = jax.lax.fori_loop(0, TRIP_HINT, lambda i, t: body(t), s)
     s = jax.lax.while_loop(cond, body, s)
     return _finalize(s)
 
@@ -401,10 +448,15 @@ def _trip(s: MapGenState, n_pieces, difficulty) -> MapGenState:
     consumption is bit-identical to the switch form. Module-level so
     tools/tpu_mapgen_profile.py can time it in isolation."""
     if True:
-        is_entry = s.pc == _ENTRY
-        is_loop = s.pc == _LOOP
-        is_end = s.pc == _END
-        is_pop = s.pc == _POP
+        # ``alive`` gates every branch and draw: a _trip on a finished
+        # or aborted lane is a strict no-op, so the driver may run
+        # UNCONDITIONAL trips (generate_map's fori prefix) without
+        # perturbing state or stream
+        alive = ~(s.finished | s.aborted)
+        is_entry = alive & (s.pc == _ENTRY)
+        is_loop = alive & (s.pc == _LOOP)
+        is_end = alive & (s.pc == _END)
+        is_pop = alive & (s.pc == _POP)
 
         i = s.frame_i[s.sp]
         at_end = i >= n_pieces
@@ -470,17 +522,30 @@ def _trip(s: MapGenState, n_pieces, difficulty) -> MapGenState:
 
 def _finalize(s: MapGenState) -> MapGenOut:
     # final rasterisation (src/map.cpp:389-405): scatter-max over
-    # (slot << 7 | features) gives last-writer-wins per cell.
-    slot = jnp.arange(HEX_SLOTS)
-    live = s.hex_valid & (slot < s.n_hex)
-    ix = ((s.hex_xy[:, 0] - s.min_xy[0]) >> 1) + 1
-    iy = ((s.hex_xy[:, 1] - s.min_xy[1]) >> 1) + 1
+    # (slot << 7 | features) gives last-writer-wins per cell. The hexes
+    # are RECONSTRUCTED here from the entry slots — each placement's 37
+    # hexes are rot(piece template) + center, so the trip loop never
+    # carries per-hex arrays (see MapGenState). All gathers/eltwise stay
+    # rank <= 2 per lane (<= 3 under vmap) via per-axis planes.
+    epid = jnp.where(s.entries >= 0, s.entries, 0)     # (P,)
+    bx = _PIECE_X[epid]                                # (P,37)
+    by = _PIECE_Y[epid]
+    valid = _PIECE_VALID[epid]                         # (P,37)
+    packed = _PIECE_PACKED[epid]                       # (P,37)
+    r = s.entry_rot % 6                                # (P,)
+    px = (_ROT00[r][:, None] * bx + _ROT01[r][:, None] * by
+          + s.entry_center[:, 0:1])
+    py = (_ROT10[r][:, None] * bx + _ROT11[r][:, None] * by
+          + s.entry_center[:, 1:2])
+    live = valid & (jnp.arange(MAX_PLACED)[:, None] < s.n_entries)
+    ix = ((px - s.min_xy[0]) >> 1) + 1
+    iy = ((py - s.min_xy[1]) >> 1) + 1
     in_grid = (ix >= 0) & (ix < GRIDSIZE) & (iy >= 0) & (iy < GRIDSIZE)
-    keep = live & in_grid
-    lin = jnp.where(keep, ix * GRIDSIZE + iy, GRIDSIZE * GRIDSIZE)
-    packed = (s.hex_feat[:, 0] | (s.hex_feat[:, 1] << 3)
-              | (s.hex_feat[:, 2] << 6))
-    val = jnp.where(keep, (slot << 7) | packed, -1)
+    keep = (live & in_grid).reshape(-1)
+    lin = jnp.where(keep, (ix * GRIDSIZE + iy).reshape(-1),
+                    GRIDSIZE * GRIDSIZE)
+    slot = jnp.arange(MAX_PLACED * 37)                 # e*37 + i placement order
+    val = jnp.where(keep, (slot << 7) | packed.reshape(-1), -1)
     canvas = jnp.full((GRIDSIZE * GRIDSIZE + 1,), -1, _i32)
     canvas = canvas.at[lin].max(val)[: GRIDSIZE * GRIDSIZE]
     req = canvas & 7
@@ -501,8 +566,10 @@ def _finalize(s: MapGenState) -> MapGenOut:
     # (0 < start < n_players+1) & (i < n_players) gate.
     pid0 = jnp.where(s.entries[0] >= 0, s.entries[0], 0)
     starts = _PIECE_HEX[pid0, :MAX_N_PLAYERS, 3]
+    start_xy = jnp.stack([px[0, :MAX_N_PLAYERS], py[0, :MAX_N_PLAYERS]],
+                         axis=-1)
     return MapGenOut(ids=ids, min_xy=s.min_xy,
-                     player_start_xy=s.hex_xy[:MAX_N_PLAYERS],
+                     player_start_xy=start_xy,
                      player_start_no=starts,
                      ok=~(s.aborted | s.overflow),
                      # aborted wins: the reference's mid-loop retry stacks a

@@ -35,6 +35,37 @@ import jax.numpy as jnp
 import numpy as np
 
 RECORD_WORDS = 5
+# The FULL-observation record (record="full"): the 5 compact words plus
+# everything else ObsData carries (reference include/api.h:84-129), so a
+# consumer can maintain a field-exact mirror of the observation surface
+# for every env at every step (see ObsReconstructor):
+#
+#     word5..31   the ACTING player's post-step (5, 21) pile counts,
+#                 one full u8 each (4 counts/word): the reference's u8
+#                 count arithmetic makes wrapped values observable state
+#                 (255 = -1, and drift continues: -17 seen in real play,
+#                 golden-verified), so nothing narrower than the full u8
+#                 domain round-trips exactly
+#     word32      shop stock slots 0..15, 2 bits each (stock <= 3)
+#     word33      shop slots 16, 17 (bits 0..3) | actor<<4 (the acting
+#                 player, whose piles/storage-row this record carries)
+#                 | shop_overflow<<7
+#                 | machete<<8 (5b) | paddle<<13 (5b)
+#                 | round(2*coins)<<18 (12b) | res_overflow<<30
+#                 (word1's 3-bit resource fields suit a bandit consumer;
+#                 these wider fields make current_resources exact — the
+#                 turn-local maxima are ~12/12/~20, still flagged honest)
+#     word34..36  the actor's post-step STORAGE mask row (3 packed words)
+#     word37..39  the post-step agent's storage row (a step writes at
+#                 most these two rows: engine._step_from_view's
+#                 mask_p_final / mask_r_final single-pass write-back)
+#
+# The map is not per-step data: it changes only at reset, and reset
+# events ship the full reset-queue result buffer (map id planes + every
+# dynamic field of the reset envs) as per-event KEYFRAMES
+# (stream_rollout(record="full") collects them; parse_reset_buffer /
+# ObsReconstructor.apply_reset consume them).
+RECORD_WORDS_FULL = 40
 
 
 def pack_step_blocked(bact, bdone, brew, bagent, bsel, bres, bphase):
@@ -60,6 +91,75 @@ def pack_step_blocked(bact, bdone, brew, bagent, bsel, bres, bphase):
     w1 = w1 | (mach << 16) | (padd << 19) | (coin2 << 22)
 
     return jnp.concatenate([w0, w1, bsel], axis=1)
+
+
+def pack_step_full_blocked(base5, bpiles, bshop, bstorage, bres, p_pre,
+                           bagent):
+    """Extend one step's compact records to the FULL observation surface.
+
+    ``base5``: (nb, 5, block) from pack_step_blocked. ``bpiles``
+    (nb, 4, 5, 21, block) u8, ``bshop`` (nb, 18, block) u8, ``bstorage``
+    (nb, 4, 3, block) i32, ``bres`` (nb, 3, block) f32 are the POST-step
+    blocked leaves; ``p_pre`` (nb, 1, block) is the PRE-step agent (the
+    actor whose piles/storage row this step wrote), ``bagent`` the
+    post-step agent. Returns (nb, 40, block) i32 (layout: module
+    docstring / RECORD_WORDS_FULL)."""
+    i32 = jnp.int32
+    nb, _, _, _, block = bpiles.shape
+    pil = bpiles.astype(i32).reshape(nb, 4, 105, block)
+    pp = sum(jnp.where(p_pre == j, pil[:, j], 0) for j in range(4))
+    # full u8 fields: the reference's wrapped counts are observable and
+    # drift without bound, so nothing narrower round-trips exactly
+    ppad = jnp.concatenate([pp, jnp.zeros((nb, 3, block), i32)], axis=1)
+    pw = jnp.zeros((nb, 27, block), i32)
+    for k in range(4):                     # strided: field k of all 27 words
+        pw = pw | ((ppad[:, k::4] & 255) << (8 * k))
+    sh = bshop.astype(i32)
+    w19 = jnp.zeros((nb, 1, block), i32)
+    for k in range(16):
+        w19 = w19 | ((sh[:, k:k + 1] & 3) << (2 * k))
+    over_s = jnp.max(sh, axis=1, keepdims=True) > 3
+    mach = jnp.round(bres[:, 0:1]).astype(i32)
+    padd = jnp.round(bres[:, 1:2]).astype(i32)
+    coin2 = jnp.round(bres[:, 2:3] * 2.0).astype(i32)
+    over_r = (mach > 31) | (padd > 31) | (coin2 > 4095)
+    w33 = ((sh[:, 16:17] & 3) | ((sh[:, 17:18] & 3) << 2)
+           | (p_pre << 4)
+           | (over_s.astype(i32) << 7)
+           | (jnp.clip(mach, 0, 31) << 8) | (jnp.clip(padd, 0, 31) << 13)
+           | (jnp.clip(coin2, 0, 4095) << 18)
+           | (over_r.astype(i32) << 30))
+    rowp = sum(jnp.where(p_pre == j, bstorage[:, j], 0) for j in range(4))
+    rowr = sum(jnp.where(bagent == j, bstorage[:, j], 0) for j in range(4))
+    return jnp.concatenate([base5, pw, w19, w33, rowp, rowr], axis=1)
+
+
+def unpack_full(buf):
+    """(..., 40) i32 full records -> planar fields (numpy): the compact
+    fields plus actor (...,), actor_piles (..., 5, 21) u8, shop (..., 18)
+    u8, storage_row_p / storage_row_r (..., 3) i32, exact resources,
+    overflow flags."""
+    buf = np.asarray(buf)
+    out = unpack_records(buf[..., :5])
+    w20 = buf[..., 33]
+    counts = np.stack([(buf[..., 5 + j // 4] >> (8 * (j % 4))) & 255
+                       for j in range(105)], axis=-1)
+    out["actor"] = ((w20 >> 4) & 3).astype(np.uint8)
+    out["actor_piles"] = counts.astype(np.uint8).reshape(
+        buf.shape[:-1] + (5, 21))
+    shop = [(buf[..., 32] >> (2 * k)) & 3 for k in range(16)]
+    shop += [w20 & 3, (w20 >> 2) & 3]
+    out["shop"] = np.stack(shop, axis=-1).astype(np.uint8)
+    out["shop_overflow"] = ((w20 >> 7) & 1).astype(bool)
+    # exact current_resources (supersedes word1's 3-bit bandit fields)
+    out["resources"] = np.stack(
+        [((w20 >> 8) & 31).astype(np.float32),
+         ((w20 >> 13) & 31).astype(np.float32),
+         ((w20 >> 18) & 0xFFF).astype(np.float32) * 0.5], axis=-1)
+    out["res_overflow"] = ((w20 >> 30) & 1).astype(bool)
+    out["storage_row_p"] = buf[..., 34:37]
+    out["storage_row_r"] = buf[..., 37:40]
+    return out
 
 
 def unpack_records(buf):
@@ -96,12 +196,14 @@ class RingConsumer(threading.Thread):
     xor checksum so the demo path can assert data actually moved.
     """
 
-    def __init__(self, ring, steps_per_push: int, n_envs: int, fn=None):
+    def __init__(self, ring, steps_per_push: int, n_envs: int, fn=None,
+                 record_words: int = RECORD_WORDS):
         super().__init__(daemon=True)
         self.ring = ring
         self.spp = steps_per_push
         self.n = n_envs
         self.fn = fn
+        self.words = record_words
         self.records = 0
         self.checksum = np.int64(0)
         self._stopping = threading.Event()
@@ -114,8 +216,7 @@ class RingConsumer(threading.Thread):
                     return
                 time.sleep(0.0005)
                 continue
-            rec = buf.view(np.int32).reshape(self.spp, self.n,
-                                             RECORD_WORDS)
+            rec = buf.view(np.int32).reshape(self.spp, self.n, self.words)
             self.records += self.spp * self.n
             flat = rec.reshape(-1)
             self.checksum ^= np.bitwise_xor.reduce(
@@ -127,6 +228,125 @@ class RingConsumer(threading.Thread):
     def finish(self):
         self._stopping.set()
         self.join()
+
+
+def parse_reset_buffer(buf, feat, q_cap, n_envs):
+    """Parse one reset-queue RESULT buffer (vec._KernelPrograms._reset_q
+    output) into keyframe fields: the per-event channel carrying the new
+    MAP ID PLANES and every dynamic field of the envs reset at a chunk
+    boundary. Returns dict with idxs/valid/ok/overflow/min_xy/map_ids and
+    dyn[name] arrays of shape (q_cap, ...) in engine dtypes; padding
+    slots (idx >= n_envs) must be dropped via ``valid``."""
+    buf = np.asarray(buf)
+    Q = q_cap
+    idxs = buf[:Q]
+    off = Q
+    ok, over = int(buf[off]), int(buf[off + 1])
+    off += 2
+    min_xy = buf[off:off + 2 * Q].reshape(Q, 2)
+    off += 2 * Q
+    MAPW = 48 * 48
+    map_ids = buf[off:off + Q * MAPW].reshape(Q, MAPW)
+    off += Q * MAPW
+    dyn = {}
+    for name, fshape, fdtype in feat:
+        F = max(1, int(np.prod(fshape)))
+        seg = buf[off:off + Q * F]
+        off += Q * F
+        if fdtype == jnp.float32:
+            seg = seg.view(np.float32)
+        elif fdtype == jnp.bool_:
+            seg = seg != 0
+        dyn[name] = np.asarray(seg).reshape((Q,) + tuple(fshape)).astype(
+            np.dtype(fdtype) if fdtype != jnp.float32 else np.float32)
+    assert off == buf.size, (off, buf.size)
+    return {"idxs": idxs, "valid": idxs < n_envs, "ok": ok,
+            "overflow": over, "min_xy": min_xy, "map_ids": map_ids,
+            "dyn": dyn}
+
+
+class ObsReconstructor:
+    """Host-side mirror of the FULL observation surface, driven by the
+    record="full" feed: per-step records update the acting player's
+    piles, the shop, the two written storage-mask rows, the sel mask and
+    the scalars; per-event reset KEYFRAMES (parse_reset_buffer) refresh
+    everything — including the map id plane — for the envs reset at a
+    chunk boundary. Field-exact against the engine by construction
+    (tests/test_stream_full.py steps an XLA replay alongside).
+
+    This is the TPU-native analogue of the reference's per-step ObsData
+    views (include/pybind/vectorized.h:60-150): the observation state
+    lives with the consumer and the wire carries only what changed.
+    """
+
+    def __init__(self, states, feat=None, q_cap=None):
+        s = jax.device_get(states)
+        n = int(np.asarray(s.rng).shape[0])
+        self.n = n
+        self.feat = feat
+        self.q_cap = q_cap
+        self.piles = np.array(s.piles, np.uint8)
+        self.shop = np.array(s.shop_stock, np.uint8)
+        self.storage = np.array(s.storage_masks, np.int32)   # packed rows
+        self.sel = np.array(s.sel_mask, np.int32)
+        self.map_ids = np.array(s.map_ids, np.int32)
+        self.min_xy = np.array(s.min_xy, np.int32)
+        self.agent = np.array(s.agent, np.int32)
+        self.phase = np.array(s.phase, np.int32)
+        self.resources = np.array(s.resources, np.float32)
+        self.done = np.array(s.done, bool)
+        self._ar = np.arange(n)
+
+    def apply_step(self, rec):
+        """One step's (n, 27) env-major full records -> mirror update."""
+        d = unpack_full(rec)
+        actor = d["actor"].astype(np.int64)
+        ragent = d["agent"].astype(np.int64)
+        self.piles[self._ar, actor] = d["actor_piles"]
+        self.shop[:] = d["shop"]
+        self.storage[self._ar, actor] = d["storage_row_p"]
+        self.storage[self._ar, ragent] = d["storage_row_r"]
+        self.sel[:] = rec[..., 2:5]
+        self.agent[:] = ragent
+        self.phase[:] = d["phase"]
+        self.resources[:] = d["resources"]
+        self.done[:] = d["done"]
+
+    def apply_reset(self, buf):
+        """One reset keyframe (raw result buffer or parse_reset_buffer
+        dict) -> refresh the reset envs' rows."""
+        if not isinstance(buf, dict):
+            buf = parse_reset_buffer(buf, self.feat, self.q_cap, self.n)
+        v = buf["valid"]
+        rows = buf["idxs"][v].astype(np.int64)
+        self.map_ids[rows] = buf["map_ids"][v]
+        self.min_xy[rows] = buf["min_xy"][v]
+        dyn = buf["dyn"]
+        self.piles[rows] = dyn["piles"][v]
+        self.shop[rows] = dyn["shop_stock"][v]
+        self.storage[rows] = dyn["storage_masks"][v]
+        self.sel[rows] = dyn["sel_mask"][v]
+        self.agent[rows] = dyn["agent"][v]
+        self.phase[rows] = dyn["phase"][v]
+        self.resources[rows] = dyn["resources"][v]
+        self.done[rows] = dyn["done"][v]
+
+    def observations(self):
+        """The reference ObsData surface (include/api.h:84-129) for every
+        env, reconstructed: map (n,48,48,7) u8, phase, current_resources,
+        shop, piles (n,4,5,21), action_masks (n,4,92) from the storage
+        rows, selected masks (n,92)."""
+        from .core import cells as C
+        from .core import engine as E
+        return {
+            "map": C.expand_obs_np(self.map_ids),
+            "phase": self.phase.astype(np.uint8),
+            "current_resources": self.resources,
+            "shop": self.shop,
+            "piles": self.piles,
+            "action_masks": np.asarray(E.unpack_mask(self.storage)),
+            "selected_action_masks": np.asarray(E.unpack_mask(self.sel)),
+        }
 
 
 def device_stats_init():
@@ -170,7 +390,8 @@ def stream_rollout(states, sampler_rngs, n_steps: int, chunk: int = 1500,
                    interpret: bool = False, ring=None,
                    steps_per_push: int = 100, consume=None,
                    deliver: str = "ring", device_fn=None,
-                   device_carry=None, exact: bool = False):
+                   device_carry=None, exact: bool = False,
+                   record: str = "compact"):
     """High-throughput rollout that DELIVERS the per-step feed.
 
     Same auto-reset semantics as ``rollout_chunked(backend="kernel",
@@ -201,20 +422,32 @@ def stream_rollout(states, sampler_rngs, n_steps: int, chunk: int = 1500,
     same-step auto-reset streams (a dead step repeats the frozen
     post-episode record with done=1; consumers drop them via the done
     flag). The last tuple element gains the dead-step count.
+
+    ``record="full"`` widens records to the FULL observation surface
+    (40 words: actor piles, shop, written storage rows — module
+    docstring) and, on the ring path, ships each reset event's result
+    buffer as a KEYFRAME: the returned consumer gains ``.keyframes``
+    (ordered ``(chunk_index, buffer)``, each parseable by
+    parse_reset_buffer with ``.feat``/``.q_cap``), where keyframe k
+    applies AFTER chunk k's records. ObsReconstructor consumes both
+    channels to mirror ObsData field-exactly for every env/step.
     """
     from . import vec as V
     from .errors import GenerateMapFailure, MapCapacityError
     n = int(states.rng.shape[0])
+    want = "packed" if record == "compact" else "full"
+    words = RECORD_WORDS if record == "compact" else RECORD_WORDS_FULL
     progs = V._kernel_programs(states, mask_src, block, interpret,
                                gate_dead=exact)
+    keyframes = []
     if deliver == "ring":
         assert chunk % steps_per_push == 0, (chunk, steps_per_push)
         if ring is None:
             from .native import TrajectoryRing
             cap = max(4, 4 * chunk // steps_per_push)
-            ring = TrajectoryRing(steps_per_push * n * RECORD_WORDS * 4,
-                                  cap)
-        consumer = RingConsumer(ring, steps_per_push, n, consume)
+            ring = TrajectoryRing(steps_per_push * n * words * 4, cap)
+        consumer = RingConsumer(ring, steps_per_push, n, consume,
+                                record_words=words)
         consumer.start()
     else:
         assert deliver == "device", deliver
@@ -226,13 +459,19 @@ def stream_rollout(states, sampler_rngs, n_steps: int, chunk: int = 1500,
     bctx, bdyn, brngs = progs.block_in(states, sampler_rngs)
     qstate = progs.qstate_init()
     n_chunks = max(1, n_steps // chunk)
-    pending = None            # device (chunk, n, 5) buffer in flight
-    for _ in range(n_chunks):
+    pending = None        # device (chunk, n, words) buffer in flight
+    for ci in range(n_chunks):
         bdyn, brngs, qstate, any_new, resetq, traj = progs.run_q(
-            bctx, bdyn, brngs, qstate, chunk, "packed")
+            bctx, bdyn, brngs, qstate, chunk, want)
         if bool(any_new):
+            buf = progs.reset_q_dev(resetq)
+            if want == "full" and deliver == "ring":
+                # keyframe channel: the reset envs' fresh map id planes
+                # + full dynamic state, applied after this chunk's
+                # records (queued resets land at the boundary)
+                keyframes.append((ci, np.asarray(buf)))
             bdyn, bctx, states, qstate = progs.apply_q(
-                bdyn, bctx, states, qstate, progs.reset_q_dev(resetq))
+                bdyn, bctx, states, qstate, buf)
         if deliver == "device":
             device_carry = device_fn(device_carry, traj)
         else:
@@ -255,6 +494,9 @@ def stream_rollout(states, sampler_rngs, n_steps: int, chunk: int = 1500,
     sink = device_carry if deliver == "device" else None
     if deliver == "ring":
         consumer.finish()
+        consumer.keyframes = keyframes
+        consumer.feat = progs.feat
+        consumer.q_cap = progs.q_cap
         sink = consumer
     if exact:
         return states, sampler_rngs, episodes, sink, int(counters[3])

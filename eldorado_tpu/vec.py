@@ -266,6 +266,9 @@ class _KernelPrograms:
         i_sel = E.DYN_FIELDS.index("sel_mask")
         i_res = E.DYN_FIELDS.index("resources")
         i_phase = E.DYN_FIELDS.index("phase")
+        i_piles = E.DYN_FIELDS.index("piles")
+        i_shop = E.DYN_FIELDS.index("shop_stock")
+        i_storage = E.DYN_FIELDS.index("storage_masks")
         n = int(states.rng.shape[0])
         GRID2 = E.GRIDSIZE * E.GRIDSIZE
 
@@ -331,13 +334,22 @@ class _KernelPrograms:
                 bball = (g[:, 0:1], g[:, 1:2], g[:, 2:3], g[:, 3:4])
                 bdyn, brngs, bact = fused.blocked(bdyn, brngs, bball,
                                                   bnp, bms)
-                if want_traj == "packed":
+                if want_traj in ("packed", "full"):
                     # the per-step learner feed: 5 packed words/env
-                    # (stream.pack_step_blocked layout)
-                    from .stream import pack_step_blocked
+                    # (stream.pack_step_blocked layout); "full" extends
+                    # to the whole observation surface (31 words: actor
+                    # piles, shop, written storage rows — stream module
+                    # docstring)
+                    from .stream import (pack_step_blocked,
+                                         pack_step_full_blocked)
                     out = pack_step_blocked(
                         bact, bdyn[i_done], bdyn[i_rew], bdyn[i_agent],
                         bdyn[i_sel], bdyn[i_res], bdyn[i_phase])
+                    if want_traj == "full":
+                        out = pack_step_full_blocked(
+                            out, bdyn[i_piles], bdyn[i_shop],
+                            bdyn[i_storage], bdyn[i_res], a,
+                            bdyn[i_agent])
                 elif want_traj:
                     out = (bact, bdyn[i_done], bdyn[i_rew],
                            bdyn[i_agent])
@@ -380,9 +392,10 @@ class _KernelPrograms:
 
         @jax.jit
         def unblock_packed(traj):
-            # (T, nb, 5, block) packed records -> (T, n, 5) env-major
-            from .stream import RECORD_WORDS
-            return jax.vmap(lambda x: t_out(x, (RECORD_WORDS,)))(traj)
+            # (T, nb, W, block) packed records -> (T, n, W) env-major
+            # (W = 5 compact / 27 full)
+            W = int(traj.shape[2])
+            return jax.vmap(lambda x: t_out(x, (W,)))(traj)
 
         # ---- async host-reset programs -------------------------------
         # Resetting finished envs costs ~230 ms on-TPU per event at 4096

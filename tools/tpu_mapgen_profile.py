@@ -48,10 +48,6 @@ def main():
             entry_rot=jnp.zeros((M.MAX_PLACED,), jnp.int32),
             entry_center=jnp.zeros((M.MAX_PLACED, 2), jnp.int32),
             n_entries=jnp.int32(0),
-            hex_xy=jnp.zeros((M.HEX_SLOTS, 2), jnp.int32),
-            hex_feat=jnp.zeros((M.HEX_SLOTS, 3), jnp.int32),
-            hex_valid=jnp.zeros((M.HEX_SLOTS,), bool),
-            n_hex=jnp.int32(0),
             min_xy=jnp.zeros((2,), jnp.int32),
             max_xy=jnp.zeros((2,), jnp.int32),
             piece_rot=jnp.zeros((20,), jnp.int32),
