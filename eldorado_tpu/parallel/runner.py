@@ -283,10 +283,50 @@ class _ShardedKernelPrograms:
                 return bctx2, bdyn, brngs, (qs[0], qs[1][None]), states
             return go(bctx, bdyn, brngs, qstate, states)
 
+        # ---- fused streaming chunk: scan + records + per-shard fold --
+        # The learner feed on the multi-chip path: each shard emits its
+        # blocked per-step records (stream.pack_step_blocked /
+        # pack_step_full_blocked layouts) and folds them into a
+        # PER-SHARD consumer carry INSIDE shard_map — the trajectory
+        # never leaves its device, exactly like the single-chip
+        # deliver="device" path. Carry leaves ride a leading (n_dev,)
+        # row axis (the counters pattern); combine rows on the host
+        # (sums/xors are order-independent, so results are bit-identical
+        # to the unsharded fold — asserted in tests/test_parallel.py).
+        @functools.partial(jax.jit, static_argnums=(6, 7, 8),
+                           donate_argnums=(0, 1, 2, 3, 5))
+        def run_auto_stream(bctx, bdyn, brngs, qstate, states, carry,
+                            chunk, want_traj, fold):
+            @functools.partial(
+                shmap, in_specs=(ax, ax, ax, (ax, ax), ax, ax),
+                out_specs=(ax, ax, ax, (ax, ax), ax, ax))
+            def go(bctx, bdyn, brngs, qstate, states, carry):
+                _trace_count[0] += 1
+                inflight, counters1 = qstate
+                bdyn, brngs, qs, has_new, resetq, traj = progs.run_q_raw(
+                    bctx, bdyn, brngs, (inflight, counters1[0]), chunk,
+                    want_traj)
+
+                def fire(args):
+                    bdyn, bctx, states, qs = args
+                    return progs.apply_q_raw(
+                        bdyn, bctx, states, qs, progs.reset_q_raw(resetq))
+
+                bdyn, bctx2, states, qs = jax.lax.cond(
+                    has_new, fire, lambda a: a,
+                    (bdyn, bctx, states, qs))
+                local = jax.tree_util.tree_map(lambda x: x[0], carry)
+                local = fold(local, traj)
+                carry = jax.tree_util.tree_map(lambda x: x[None], local)
+                return (bctx2, bdyn, brngs, (qs[0], qs[1][None]), states,
+                        carry)
+            return go(bctx, bdyn, brngs, qstate, states, carry)
+
         self.block_in = block_in
         self.unblock = unblock
         self.run_q = run_q
         self.run_auto = run_auto
+        self.run_auto_stream = run_auto_stream
         self.reset_apply = reset_apply
 
     def qstate_init(self):
@@ -360,6 +400,76 @@ def sharded_kernel_rollout(mesh: Mesh, states, sampler_rngs, n_steps: int,
     if exact:
         return states, sampler_rngs, episodes, int(counters[3])
     return states, sampler_rngs, episodes
+
+
+def sharded_stream_rollout(mesh: Mesh, states, sampler_rngs, n_steps: int,
+                           chunk: int = 300, mask_src: str = "storage",
+                           block: int = 1024, interpret: bool = False,
+                           record: str = "full", device_fn=None,
+                           device_carry=None, exact: bool = False):
+    """The learner feed on the multi-chip path: per-shard blocked kernel
+    scans emit packed per-step records (compact 5-word or full 40-word —
+    eldorado_tpu.stream layouts) and fold them into a per-shard consumer
+    carry ON DEVICE inside shard_map, with cond-gated queued auto-resets
+    at chunk boundaries and no host sync in the loop. This serves what
+    the reference runner's shared observation views serve — training
+    data for all N envs regardless of worker count (reference:
+    include/runner.h:93-100, include/pybind/vectorized.h:60-150) — as
+    device-resident consumption rather than host pointers.
+
+    ``device_fn(carry, traj_blocked)`` (default stream.device_stats_fn)
+    folds one LOCAL shard's (chunk, nb_local, W, block) records;
+    ``device_carry`` is the single-shard initial carry (default
+    stream.device_stats_init()), replicated into per-shard rows. Returns
+    (states, sampler_rngs, episodes, carry_rows[, dead]) where
+    carry_rows leaves have a leading (n_devices,) axis — combine with an
+    order-independent reduction (sum/xor) for results bit-identical to
+    the single-device stream_rollout fold (tests/test_parallel.py)."""
+    import numpy as np
+    from ..errors import GenerateMapFailure, MapCapacityError
+    from ..vec import reset_done_bucketed
+    from .. import stream as S
+
+    n = int(states.rng.shape[0])
+    progs = _sharded_kernel_programs(mesh, n, mask_src, block, interpret,
+                                     exact)
+    want = "packed" if record == "compact" else "full"
+    if device_fn is None:
+        device_fn = S.device_stats_fn
+        device_carry = S.device_stats_init()
+    sh = env_sharding(mesh)
+    states = shard_envs(states, mesh)
+    sampler_rngs = jax.device_put(sampler_rngs, sh)
+    n_dev = int(mesh.devices.size)
+    carry = jax.device_put(
+        jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                       (n_dev,) + jnp.shape(x)),
+            device_carry), sh)
+
+    bctx, bdyn, brngs = progs.block_in(states, sampler_rngs)
+    qstate = progs.qstate_init()
+    n_chunks = max(1, n_steps // chunk)
+    for _ in range(n_chunks):
+        bctx, bdyn, brngs, qstate, states, carry = progs.run_auto_stream(
+            bctx, bdyn, brngs, qstate, states, carry, chunk, want,
+            device_fn)
+    counters = np.asarray(qstate[1]).sum(axis=0)
+    states, sampler_rngs = progs.unblock(states, bdyn, brngs)
+    episodes = int(counters[0])
+    if counters[2]:
+        raise MapCapacityError(
+            "sharded stream: map generation overflowed a capacity")
+    if counters[1]:
+        raise GenerateMapFailure(
+            "sharded stream: map generation failed > MAX_FAILURES")
+    if np.asarray(states.done).any():
+        states, k = reset_done_bucketed(states)
+        episodes += k
+        states = shard_envs(states, mesh)
+    if exact:
+        return states, sampler_rngs, episodes, carry, int(counters[3])
+    return states, sampler_rngs, episodes, carry
 
 
 def sharded_rollout(mesh: Mesh, states, sampler_rngs, n_steps: int,
@@ -465,6 +575,21 @@ class ShardedRunner:
             self.mask_src, block, interpret)
         self._pending = self.states
         return {"episodes": episodes, "steps": n_steps}
+
+    def stream_rollout(self, n_steps: int, chunk: int = 300,
+                       block: int = 1024, interpret: bool = False,
+                       record: str = "full", device_fn=None,
+                       device_carry=None):
+        """The multi-chip learner feed (sharded_stream_rollout): per-shard
+        packed records folded on device. Returns {"episodes", "steps",
+        "carry"} with carry rows per device."""
+        (self.states, self.sampler_rngs, episodes,
+         carry) = sharded_stream_rollout(
+            self.mesh, self.states, self.sampler_rngs, n_steps, chunk,
+            self.mask_src, block, interpret, record, device_fn,
+            device_carry)
+        self._pending = self.states
+        return {"episodes": episodes, "steps": n_steps, "carry": carry}
 
     def sync(self):
         if self._pending is not None:

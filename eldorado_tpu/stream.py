@@ -460,26 +460,32 @@ def stream_rollout(states, sampler_rngs, n_steps: int, chunk: int = 1500,
     qstate = progs.qstate_init()
     n_chunks = max(1, n_steps // chunk)
     pending = None        # device (chunk, n, words) buffer in flight
-    for ci in range(n_chunks):
-        bdyn, brngs, qstate, any_new, resetq, traj = progs.run_q(
-            bctx, bdyn, brngs, qstate, chunk, want)
-        if bool(any_new):
-            buf = progs.reset_q_dev(resetq)
-            if want == "full" and deliver == "ring":
-                # keyframe channel: the reset envs' fresh map id planes
-                # + full dynamic state, applied after this chunk's
-                # records (queued resets land at the boundary)
-                keyframes.append((ci, np.asarray(buf)))
-            bdyn, bctx, states, qstate = progs.apply_q(
-                bdyn, bctx, states, qstate, buf)
-        if deliver == "device":
+    if deliver == "device":
+        # fully-fused chunks: scan + cond-gated reset + records, NO host
+        # sync in the loop (the per-chunk any_new round trip is ~25 ms
+        # over the device tunnel)
+        for _ in range(n_chunks):
+            bctx, bdyn, brngs, qstate, states, traj = progs.run_auto_traj(
+                bctx, bdyn, brngs, qstate, states, chunk, want)
             device_carry = device_fn(device_carry, traj)
-        else:
+    else:
+        for ci in range(n_chunks):
+            bdyn, brngs, qstate, any_new, resetq, traj = progs.run_q(
+                bctx, bdyn, brngs, qstate, chunk, want)
+            if bool(any_new):
+                buf = progs.reset_q_dev(resetq)
+                if want == "full":
+                    # keyframe channel: the reset envs' fresh map id
+                    # planes + full dynamic state, applied after this
+                    # chunk's records (queued resets land at boundaries)
+                    keyframes.append((ci, np.asarray(buf)))
+                bdyn, bctx, states, qstate = progs.apply_q(
+                    bdyn, bctx, states, qstate, buf)
             if pending is not None:
                 _drain(pending, ring, steps_per_push)
             pending = progs.unblock_packed(traj)  # async device transpose
-    if deliver == "ring" and pending is not None:
-        _drain(pending, ring, steps_per_push)
+        if pending is not None:
+            _drain(pending, ring, steps_per_push)
 
     counters = np.asarray(qstate[1])
     episodes = int(counters[0])

@@ -616,6 +616,33 @@ class _KernelPrograms:
                                      donate_argnums=(0, 1, 2, 3))(
                                          _run_auto)
 
+        def _run_auto_traj(bctx, bdyn, brngs, qstate, states, chunk,
+                           want_traj):
+            """run_auto that ALSO returns the chunk's packed per-step
+            records: the fully-fused streaming chunk for on-device feed
+            consumers (stream_rollout deliver=\"device\") — no host sync
+            anywhere in the loop (the per-chunk `bool(any_new)` round
+            trip costs ~25 ms over the device tunnel, 83 us/step at the
+            full-record chunk of 300)."""
+            bdyn, brngs, qstate, has_new, resetq, traj = _run_q(
+                bctx, bdyn, brngs, qstate, chunk, want_traj)
+
+            def fire(args):
+                bdyn, bctx, states, qs, rq = args
+                return _apply_q(bdyn, bctx, states, qs, _reset_q(rq))
+
+            def skip(args):
+                return args[:4]
+
+            bdyn, bctx, states, qstate = jax.lax.cond(
+                has_new, fire, skip,
+                (bdyn, bctx, states, qstate, resetq))
+            return bctx, bdyn, brngs, qstate, states, traj
+
+        run_auto_traj = functools.partial(
+            jax.jit, static_argnums=(5, 6),
+            donate_argnums=(0, 1, 2, 3))(_run_auto_traj)
+
         self.block = block
         self.n = n
         self.q_cap = Q
@@ -627,6 +654,7 @@ class _KernelPrograms:
         self.qstate_init = qstate_init
         self.run_q = run_q
         self.run_auto = run_auto
+        self.run_auto_traj = run_auto_traj
         self.reset_q_dev = jax.jit(_reset_q)
         # the async host path runs the reset on the CPU backend, where
         # the Pallas reset body must interpret

@@ -155,3 +155,61 @@ def test_runner_matches_vec_env(mesh8):
     for name in E.EnvState._fields:
         assert np.array_equal(np.asarray(getattr(runner.states, name)),
                               np.asarray(getattr(env.states, name))), name
+
+
+def test_sharded_stream_feed_matches_single_device():
+    """The multi-chip learner feed: per-shard on-device record folds ==
+    the single-device stream_rollout fold, bit for bit — stats AND an
+    int32 sum-checksum over every record word (order-independent, so
+    shard structure cannot hide a record difference). Full 40-word
+    records with mid-run queued auto-resets."""
+    import jax.numpy as jnp
+
+    from eldorado_tpu import stream as S
+
+    mesh4 = M.make_mesh(4)
+    N2 = 32
+    states = vec.vec_reset(5, N2, 4, 2, 0, 10)   # short games: resets fire
+    rngs = vec.sampler_init(11, N2)
+
+    def fold(carry, traj):
+        stats = S.device_stats_fn(carry[0], traj)
+        chk = carry[1] + jnp.sum(traj.astype(jnp.int32))
+        return (stats, chk)
+
+    init = (S.device_stats_init(), jnp.int32(0))
+    ss, rs, eps, carry = R.sharded_stream_rollout(
+        mesh4, states, rngs, 60, chunk=10, block=8, interpret=True,
+        record="full", device_fn=fold, device_carry=init)
+    su, ru, eps_u, sink = S.stream_rollout(
+        states, rngs, 60, 10, block=8, interpret=True,
+        deliver="device", record="full", device_fn=fold,
+        device_carry=init)
+    assert eps == eps_u > 0
+    assert np.array_equal(np.asarray(rs), np.asarray(ru))
+    for name in E.EnvState._fields:
+        assert np.array_equal(np.asarray(getattr(ss, name)),
+                              np.asarray(getattr(su, name))), name
+    # combine per-shard rows with order-independent reductions
+    (steps_r, eps_r, ret_r, hist_r), chk_r = carry
+    (steps_1, eps_1, ret_1, hist_1), chk_1 = sink
+    assert int(np.sum(steps_r)) == int(steps_1)
+    assert int(np.sum(eps_r)) == int(eps_1)
+    assert float(np.sum(ret_r)) == float(ret_1)   # exact: small-int f32
+    assert np.array_equal(np.sum(np.asarray(hist_r), axis=0),
+                          np.asarray(hist_1))
+    assert int(np.sum(np.asarray(chk_r, dtype=np.int64)) & 0xFFFFFFFF) \
+        == int(np.int64(chk_1) & 0xFFFFFFFF)
+
+
+def test_runner_stream_rollout():
+    from eldorado_tpu import stream as S
+
+    mesh4 = M.make_mesh(4)
+    runner = R.ShardedRunner(mesh4, 32)
+    runner.reset(seed=3, n_pieces=2, max_steps=10)
+    out = runner.stream_rollout(80, chunk=10, block=8, interpret=True)
+    assert out["steps"] == 80 and out["episodes"] > 0
+    steps_rows = np.asarray(out["carry"][0])
+    assert int(steps_rows.sum()) == 80 * 32
+    runner.sync()
