@@ -294,6 +294,20 @@ def main():
         except Exception as e:
             print(f"exact mode failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
+    if backend == "kernel" and args.envs == 4096:
+        # large-batch scaling point for the driver artifact: 16384 envs
+        # on the same workload (VERDICT r4 asked the 16k gap be captured)
+        try:
+            sps16, _, eps16 = run_config(
+                16384, args.chunk, 3, args.players, args.pieces,
+                args.difficulty, "kernel", min(args.block, 16384),
+                args.reset_mode)
+            line["sixteenk_env_steps_per_sec"] = round(sps16, 1)
+            line["sixteenk_per_env_vs_4096"] = round(sps16 / sps, 4)
+            line["sixteenk_episodes"] = eps16
+        except Exception as e:
+            print(f"16384-env probe failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
     if backend == "kernel":
         # reset-free denominator (the docs' headline ratio is
         # with-resets / reset-free; capture both in the driver artifact)
@@ -351,6 +365,21 @@ def main():
             line["stream_ring_env_steps_per_sec"] = round(ring_sps, 1)
             line["stream_ring_checksum_ok"] = bool(cons.records
                                                    == args.envs * args.chunk)
+            # delta-compressed delivery: the device ships 32-bit headers
+            # + changed-word payloads; the host decompresses (bit-exact,
+            # tests/test_stream.py) and feeds the same ring
+            S.stream_rollout(st, rg, args.chunk, args.chunk,
+                             block=min(args.block, args.envs),
+                             deliver="ring", compress=True)
+            t0 = time.time()
+            _, _, _, ccons = S.stream_rollout(
+                st, rg, args.chunk, args.chunk,
+                block=min(args.block, args.envs), deliver="ring",
+                compress=True)
+            csps = ccons.records / (time.time() - t0)
+            line["stream_ring_compressed_env_steps_per_sec"] = round(csps, 1)
+            line["stream_ring_bytes_per_record"] = round(
+                ccons.tunnel_bytes / max(1, ccons.records), 2)
         except Exception as e:
             print(f"stream mode failed ({type(e).__name__}: {e})",
                   file=sys.stderr)

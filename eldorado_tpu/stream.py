@@ -391,7 +391,7 @@ def stream_rollout(states, sampler_rngs, n_steps: int, chunk: int = 1500,
                    steps_per_push: int = 100, consume=None,
                    deliver: str = "ring", device_fn=None,
                    device_carry=None, exact: bool = False,
-                   record: str = "compact"):
+                   record: str = "compact", compress: bool = False):
     """High-throughput rollout that DELIVERS the per-step feed.
 
     Same auto-reset semantics as ``rollout_chunked(backend="kernel",
@@ -469,6 +469,12 @@ def stream_rollout(states, sampler_rngs, n_steps: int, chunk: int = 1500,
                 bctx, bdyn, brngs, qstate, states, chunk, want)
             device_carry = device_fn(device_carry, traj)
     else:
+        hprev = None
+        if compress:
+            assert record == "compact", "compress rides the compact record"
+            cprev = jnp.zeros((n, 4), jnp.int32)   # device delta carry
+            hprev = np.zeros((n, 4), np.int32)     # host mirror
+            consumer.tunnel_bytes = 0
         for ci in range(n_chunks):
             bdyn, brngs, qstate, any_new, resetq, traj = progs.run_q(
                 bctx, bdyn, brngs, qstate, chunk, want)
@@ -482,10 +488,17 @@ def stream_rollout(states, sampler_rngs, n_steps: int, chunk: int = 1500,
                 bdyn, bctx, states, qstate = progs.apply_q(
                     bdyn, bctx, states, qstate, buf)
             if pending is not None:
-                _drain(pending, ring, steps_per_push)
-            pending = progs.unblock_packed(traj)  # async device transpose
+                hprev = _drain_any(pending, ring, steps_per_push,
+                                   consumer, hprev)
+            rec = progs.unblock_packed(traj)       # async device transpose
+            if compress:
+                hdr, payload, used, cprev = compress_chunk(rec, cprev)
+                pending = (hdr, payload, used)
+            else:
+                pending = rec
         if pending is not None:
-            _drain(pending, ring, steps_per_push)
+            hprev = _drain_any(pending, ring, steps_per_push, consumer,
+                               hprev)
 
     counters = np.asarray(qstate[1])
     episodes = int(counters[0])
@@ -518,3 +531,113 @@ def _drain(dev_buf, ring, steps_per_push):
         blockv = host[t0:t0 + steps_per_push]
         while not ring.push(blockv):
             time.sleep(0.0005)            # consumer is draining
+
+
+def _drain_any(pending, ring, steps_per_push, consumer, hprev):
+    """Drain one chunk — raw (device records array) or compressed
+    ((hdr, payload, used) from compress_chunk): compressed chunks fetch
+    only header + used-payload prefix through the device link, then
+    decompress on the host and push full records into the ring. Returns
+    the updated host delta carry (None for raw)."""
+    if hprev is None:
+        _drain(pending, ring, steps_per_push)
+        return None
+    hdr_d, pay_d, used_d = pending
+    used = int(np.asarray(used_d))
+    # bucket the prefix geometrically (ratio 1.25, 256-word aligned) so
+    # the slice program compiles ~dozens of shapes while overfetching
+    # <= 25%
+    total = int(pay_d.shape[0])
+    k = 256
+    while k < used:
+        k = (k * 5 // 4 + 255) & ~255
+    k = min(total, k)
+    hdr = np.asarray(hdr_d)
+    pay = np.asarray(pay_d[:k]) if k else np.zeros(0, np.int32)
+    if consumer is not None:
+        consumer.tunnel_bytes += hdr.nbytes + pay.nbytes + 4
+    rec, hprev = decompress_chunk(hdr, pay, hprev)
+    T = rec.shape[0]
+    for t0 in range(0, T, steps_per_push):
+        blockv = rec[t0:t0 + steps_per_push]
+        while not ring.push(blockv):
+            time.sleep(0.0005)
+    return hprev
+
+
+# ------------------------------------------------------------ compression
+# The ring path is bound by the device->host link (this environment's
+# tunnel measures 9-16 MB/s; 20 B/record caps delivered throughput near
+# 1M env-steps/s). The records are highly redundant step-to-step
+# (measured at 4096-env self-play: word1 changes 64% of steps, sel word2
+# 20%, words 3-4 ~never), so the device delta-encodes each chunk before
+# the fetch:
+#
+#   header (T, n) i32 — the always-changing fields repacked to exactly
+#     32 bits: action (23b: the five heads are 5/5/5/3/5-bit by their
+#     legal ranges) | done<<23 | agent<<24 | phase<<26 | chg<<28 (4 bits
+#     flagging which of words 1..4 changed vs the previous step)
+#   payload — the changed words' NEW values, compacted in flat
+#     (t, env, word) order by a device cumsum+scatter; the host fetches
+#     only payload[:used] (rounded up to 64K-word buckets so the slice
+#     program compiles a handful of shapes, not one per chunk).
+#
+# Decompression is a vectorised gather (last-change forward fill) and
+# bit-exact (tests/test_stream.py::test_compressed_ring_roundtrip).
+
+
+@jax.jit
+def compress_chunk(rec, prev):
+    """(T, n, 5) i32 records + (n, 4) previous words 1..4 ->
+    (header (T,n), payload (T*n*4,), used scalar, new prev)."""
+    i32 = jnp.int32
+    w0 = rec[..., 0]
+    w = rec[..., 1:5]                                  # (T, n, 4)
+    wprev = jnp.concatenate([prev[None], w[:-1]], axis=0)
+    chg = w != wprev
+    a0 = w0 & 31
+    a1 = (w0 >> 5) & 31
+    a2 = (w0 >> 10) & 31
+    a3 = (w0 >> 15) & 7                                # move head: <= 6
+    a4 = (w0 >> 20) & 31
+    hdr = (a0 | (a1 << 5) | (a2 << 10) | (a3 << 15) | (a4 << 18)
+           | (((w0 >> 25) & 1) << 23)                  # done
+           | (((w0 >> 26) & 3) << 24)                  # agent
+           | (((w0 >> 28) & 3) << 26))                 # phase
+    for k in range(4):
+        hdr = hdr | (chg[..., k].astype(i32) << (28 + k))
+    flags = chg.reshape(-1)
+    total = flags.shape[0]
+    pos = jnp.cumsum(flags.astype(i32)) - 1
+    used = pos[-1] + 1
+    idx = jnp.where(flags, pos, total)
+    payload = jnp.zeros((total,), i32).at[idx].set(
+        w.reshape(-1), mode="drop")
+    return hdr, payload, used, w[-1]
+
+
+def decompress_chunk(hdr, payload, prev):
+    """Inverse of compress_chunk (numpy): -> ((T, n, 5) records,
+    new prev). ``payload`` may be any prefix covering the used words."""
+    hdr = np.asarray(hdr)
+    T, n = hdr.shape
+    w0 = ((hdr & 31) | (((hdr >> 5) & 31) << 5) | (((hdr >> 10) & 31) << 10)
+          | (((hdr >> 15) & 7) << 15) | (((hdr >> 18) & 31) << 20)
+          | (((hdr >> 23) & 1) << 25) | (((hdr >> 24) & 3) << 26)
+          | (((hdr >> 26) & 3) << 28))
+    chg = np.stack([(hdr >> (28 + k)) & 1 for k in range(4)],
+                   axis=-1).astype(bool)               # (T, n, 4)
+    flags = chg.reshape(-1)
+    cnt = int(flags.sum())
+    vals = np.zeros(T * n * 4, np.int32)
+    vals[flags] = np.asarray(payload)[:cnt]
+    vals = vals.reshape(T, n, 4)
+    # forward fill: each slot takes the value at its LAST change <= t
+    # (index 0 = carried prev) via one gather
+    last = np.maximum.accumulate(
+        np.where(chg, np.arange(1, T + 1)[:, None, None], 0), axis=0)
+    table = np.concatenate([prev[None], vals], axis=0)  # (T+1, n, 4)
+    ni, ki = np.meshgrid(np.arange(n), np.arange(4), indexing="ij")
+    w = table[last, ni[None], ki[None]]                # (T, n, 4)
+    rec = np.concatenate([w0[..., None], w], axis=-1).astype(np.int32)
+    return rec, w[-1].copy()

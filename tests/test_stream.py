@@ -170,3 +170,33 @@ def test_stream_with_resets_matches_chunked():
     for name in E.EnvState._fields:
         assert (np.asarray(getattr(sS, name))
                 == np.asarray(getattr(sC, name))).all(), name
+
+
+def test_compressed_ring_roundtrip():
+    """Delta-compressed ring delivery is bit-exact: the decompressed
+    record stream equals the raw stream word-for-word, across chunk
+    boundaries and mid-run resets, and the header repack covers every
+    action/flag field."""
+    import numpy as np
+
+    from eldorado_tpu import stream as S
+    from eldorado_tpu import vec
+
+    n, chunk, n_chunks = 8, 30, 4
+    states = vec.vec_reset(5, n, 4, 1, 0, 10)
+    rngs = vec.sampler_init(11, n)
+    raw, comp = [], []
+    s1, r1, e1, c1 = S.stream_rollout(
+        states, rngs, chunk * n_chunks, chunk, block=n, interpret=True,
+        steps_per_push=chunk, consume=lambda r: raw.append(r.copy()))
+    s2, r2, e2, c2 = S.stream_rollout(
+        states, rngs, chunk * n_chunks, chunk, block=n, interpret=True,
+        steps_per_push=chunk, consume=lambda r: comp.append(r.copy()),
+        compress=True)
+    assert e1 == e2 > 0
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    a = np.concatenate(raw)
+    b = np.concatenate(comp)
+    assert np.array_equal(a, b)
+    assert c1.checksum == c2.checksum
+    assert c2.tunnel_bytes < a.nbytes * 0.7, (c2.tunnel_bytes, a.nbytes)
