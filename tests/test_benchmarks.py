@@ -61,3 +61,41 @@ def test_docs_site_builds(tmp_path):
                      "performance.html", "usage.html"], pages
     text = (tmp_path / "usage.html").read_text()
     assert "<nav>" in text and "rollout_chunked" in text
+
+
+def test_perf_history_gate_fires_on_synthetic_slowdown(tmp_path):
+    """The CI regression gate must fail a candidate whose kernel-backend
+    metric slid >25% (+ the 30 ms absolute floor) vs stored history, and
+    pass an identical candidate — exercising the round-5 requirement
+    that the flagship kernel path is gated, not just the XLA rows."""
+    import copy
+    import glob
+    import importlib.util
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "perf_history", os.path.join(root, "tools", "perf_history.py"))
+    ph = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ph)
+
+    hist = sorted(glob.glob(os.path.join(root, "benchmarks", "history",
+                                         "*_*.json")))
+    assert hist, "stored history must exist"
+    base = json.load(open(hist[-1]))
+    key = "TimeEnvs.time_run(64, 'kernel')"
+    assert key in base["results"], "kernel metric must be tracked"
+
+    ok = tmp_path / "ok.json"
+    json.dump(base, open(ok, "w"))
+    assert ph.check(str(ok), os.path.join(root, "benchmarks", "history"),
+                    0.25) == 0
+
+    slow = copy.deepcopy(base)
+    slow["results"][key]["median_s"] = (
+        base["results"][key]["median_s"] * 2 + 0.1)
+    bad = tmp_path / "bad.json"
+    json.dump(slow, open(bad, "w"))
+    assert ph.check(str(bad), os.path.join(root, "benchmarks", "history"),
+                    0.25) == 1

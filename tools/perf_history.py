@@ -33,9 +33,24 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU lane even where the axon TPU plugin self-registers from
+# sitecustomize at interpreter startup (its tunnel MEMOISES repeated
+# identical dispatches, which silently zeroes repeat-call timings —
+# observed as a 150 ms metric "becoming" 0.2 ms). Same recipe as
+# tests/conftest.py: set the config after import and drop any
+# already-initialised backends.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT, ".jax_cache"))
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+_xb._clear_backends()
 
 # CPU-lane grid: stable sub-second-to-few-second workloads per metric
 # (the full asv grid incl. 4096-env/TPU combos is for asv hosts)
@@ -43,7 +58,13 @@ GRID = [
     # attr overrides push each metric to ~0.3-1 s so the regression
     # gate's absolute noise floor (50 ms) cannot mask a real 25% slide
     ("TimeEnvs", "time_run", (256, "xla"), {"steps": 600}),
+    # the FLAGSHIP path: the fused Pallas step kernel (interpret mode on
+    # the CPU lane) — a kernel-evaluator or plan-size regression moves
+    # this metric even though the XLA-backend row would not
+    ("TimeEnvs", "time_run", (64, "kernel"), {"steps": 60}),
     ("TimeSampler", "time_sample", (256,), {"draws": 12000}),
+    # reset events: full vectorised reset incl. map procgen (the mapgen
+    # trip loop + finalize + reset body — the with-resets ratio's cost)
     ("TimeReset", "time_reset", (256,), {}),
 ]
 REPS = 5
