@@ -272,26 +272,37 @@ def _try_add_random(s: MapGenState, pid, active):
     prot = s.piece_rot[epid]
     pcen = s.piece_center[epid]                # (P,2)
     nconn = _CONN_N[psize, ptype, nsize]       # (P,)
-    coords = _CONN_COORD[psize, ptype, nsize]  # (P,21,2)
-    nrots = _CONN_NROT[psize, ptype, nsize]    # (P,21)
-    rots = _CONN_ROT[psize, ptype, nsize]      # (P,21,6)
-
-    coords = _rotv(coords, prot[:, None]) + pcen[:, None, :]
-    rots = rots + prot[:, None, None]
     k_idx = jnp.arange(21)[None, :]
     live = ((jnp.arange(MAX_PLACED) < s.n_entries)[:, None]
             & (k_idx < nconn[:, None]))        # (P,21)
 
     # Overlap test against every placed piece via the static pairwise bit
     # table: ONE gathered word + shift per (candidate, placed) pair — the
-    # candidate footprint is never materialised and there is no inner
-    # loop (round 2's per-slot fori with 21x37-cell occupancy gathers is
-    # gone; the whole (slots, cands, slots) cube is 16x21x16 words). The
-    # candidate probes its FIRST rotation option only (rots[:, :, 0]),
-    # exactly like the reference's single `overlap()` call per connection
-    # entry (src/map.cpp:287-295).
-    crot = rots[:, :, 0] % 6                   # (P,21) candidate rotation
-    cbase = (nsize * 6 + crot) * 3             # (P,21) partial table index
+    # candidate footprint is never materialised. The candidate probes its
+    # FIRST rotation option only, exactly like the reference's single
+    # `overlap()` call per connection entry (src/map.cpp:287-295).
+    #
+    # The per-candidate tables are materialised ONLY for the rows a trip
+    # actually reads: the [:W] window (or the fallback loop's row e), and
+    # ONE picked row afterwards. Building the full (48, 21, 6) rotated
+    # candidate tables every trip cost ~12k gathered+summed elements per
+    # lane per trip (the dominant per-lane term after the overlap gather).
+    def cand_coords(rows_pid_idx):
+        """Rotated+translated connection coords for entry rows ``rows``
+        ((R,) slot indices): -> (R, 21, 2)."""
+        e = rows_pid_idx
+        c = _CONN_COORD[psize[e], ptype[e], nsize]      # (R,21,2)
+        return _rotv(c, prot[e][:, None]) + pcen[e][:, None, :]
+
+    def cand_crot0(rows):
+        """First-option candidate rotations for entry rows: (R, 21)."""
+        e = rows
+        return (_CONN_ROT[psize[e], ptype[e], nsize, :, 0]
+                + prot[e][:, None]) % 6
+
+    roww = jnp.arange(_OVL_W)
+    coords_w = cand_coords(roww)                        # (W,21,2)
+    cbase_w = (nsize * 6 + cand_crot0(roww)) * 3        # (W,21)
 
     # Pair test, two regimes (identical results, golden-verified):
     #
@@ -310,28 +321,35 @@ def _try_add_random(s: MapGenState, pid, active):
     #
     # Coordinates stay split per axis: stacking (x, y) would make every
     # elementwise op rank-4, which XLA TPU degrades ~1000x on.
-    cw = coords[:_OVL_W].reshape(_OVL_W * 21, 2)     # (W*21, 2)
-    cbw = cbase[:_OVL_W].reshape(_OVL_W * 21)        # (W*21,)
-    fx = s.entry_center[:_OVL_W, 0]                  # (W,)
-    fy = s.entry_center[:_OVL_W, 1]
-    dx = cw[:, 0:1] - fx[None, :]                    # (W*21, W)
-    dy = cw[:, 1:2] - fy[None, :]
-    inr = (jnp.abs(dx) <= _OVL_DMAX) & (jnp.abs(dy) <= _OVL_DMAX)
-    idxw = ((cbw[:, None] + psize[:_OVL_W][None, :]) * 6
-            + s.entry_rot[:_OVL_W][None, :]) * _OVL_ND \
-        + jnp.clip(dx + _OVL_DMAX, 0, _OVL_ND - 1)
-    ww = _OVL_TBL[idxw]                              # (W*21, W) gather
-    hitw = inr & (((ww >> jnp.clip(dy + _OVL_DMAX, 0, 31)) & 1) > 0)
-    fval = jnp.arange(_OVL_W) < jnp.minimum(s.n_entries, _OVL_W)
-    vec_rows = jnp.any(hitw & fval[None, :], axis=1).reshape(_OVL_W, 21)
+    cw = coords_w.reshape(_OVL_W * 21, 2)            # (W*21, 2)
+    cbw = cbase_w.reshape(_OVL_W * 21)               # (W*21,)
+
+    # candidate-vectorised, placed-LIVE-bounded: one (W*21,) gather per
+    # LIVE placed piece (gather volume n_e x 126 instead of the fixed
+    # 6 x 126 of a fully-vectorised window — the overlap gather is the
+    # per-lane cost driver of generate_map, ~13 ns/element; trips run in
+    # lockstep across the queue so the vmapped fori's max-lane bound is
+    # the common n_e)
+    def one_f(f, hit):
+        dx = cw[:, 0] - s.entry_center[f, 0]         # (W*21,)
+        dy = cw[:, 1] - s.entry_center[f, 1]
+        inr = (jnp.abs(dx) <= _OVL_DMAX) & (jnp.abs(dy) <= _OVL_DMAX)
+        idx = ((cbw + psize[f]) * 6 + s.entry_rot[f]) * _OVL_ND \
+            + jnp.clip(dx + _OVL_DMAX, 0, _OVL_ND - 1)
+        w = _OVL_TBL[idx]                            # (W*21,) gather
+        return hit | (inr
+                      & (((w >> jnp.clip(dy + _OVL_DMAX, 0, 31)) & 1) > 0))
+
+    hitw = jax.lax.fori_loop(0, jnp.minimum(s.n_entries, _OVL_W), one_f,
+                             jnp.zeros((_OVL_W * 21,), bool))
     overlap_vec = jnp.zeros((MAX_PLACED, 21), bool).at[:_OVL_W].set(
-        vec_rows)
+        hitw.reshape(_OVL_W, 21))
 
     use_loop = s.n_entries > _OVL_W
 
     def row_overlap(e, over):
-        ce = coords[e]                          # (21, 2)
-        cb = cbase[e]                           # (21,)
+        ce = cand_coords(e[None])[0]            # (21, 2), on the fly
+        cb = (nsize * 6 + cand_crot0(e[None])[0]) * 3   # (21,)
 
         def one_placed(f, hit):
             d = ce - s.entry_center[f]          # (21, 2)
@@ -362,9 +380,12 @@ def _try_add_random(s: MapGenState, pid, active):
     csum = jnp.cumsum(flat_ok) - flat_ok       # exclusive prefix counts
     pick = jnp.argmax(flat_ok & (csum == pos)).astype(_i32)
     pe, pk = pick // 21, pick % 21
-    coord = coords[pe, pk]
-    r, s = _uid_maybe(s, nrots[pe, pk], have)
-    rot = rots[pe, pk, r]
+    # only the PICKED row's coord/rotation data is ever consumed — gather
+    # it directly instead of materialising (48, 21, ...) tables
+    coord = cand_coords(pe[None])[0, pk]
+    nrots_pk = _CONN_NROT[psize[pe], ptype[pe], nsize, pk]
+    r, s = _uid_maybe(s, nrots_pk, have)
+    rot = _CONN_ROT[psize[pe], ptype[pe], nsize, pk, r] + prot[pe]
     placed = _add_piece(s, pid, coord, rot)
     return _select(have, placed, s), have
 
