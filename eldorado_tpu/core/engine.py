@@ -590,17 +590,23 @@ def _deck_draw_p(v: PView, n) -> PView:
     rng = v.rng
     taint = v.tainted
     one = jnp.asarray(1, _u8)
+    # ONE inclusive prefix sum per call; each live draw decrements the
+    # prefix at positions >= the drawn type (exact integer identity with
+    # recomputing _csum_incl on the updated pile) — the recomputed form
+    # cost one (21, 21) matmul + converts per UNROLLED draw, ~10 of the
+    # fused step kernel's 13 dot_general nodes
+    cum = _csum_incl(draw)
     for k in range(HAND_SIZE):  # static unroll: at most 4 draws per call
         live = k < n_eff
         t, rng, tt = R.uniform_int_fast_maybe(rng, nid, live)
         taint = taint | tt
-        cum = _csum_incl(draw)
         ct = jnp.sum(cum <= t.astype(_i32), dtype=_i32)
         ct = jnp.minimum(ct, N_CARDTYPES - 1)
         oh_ct = _oh(ct, _IOTA21)
         dlt = jnp.where(live & oh_ct, one, jnp.zeros((), _u8))
         draw = _wrap8(draw - dlt)
         hand = _wrap8(hand + dlt)
+        cum = jnp.where(live, cum - (_IOTA21 >= ct).astype(cum.dtype), cum)
         nid = jnp.where(live, _wrap8(nid - one), nid)
         # packed-word bit updates; the special bit is rewritten only on
         # live draws (matches the old masked tgt_sp form)
