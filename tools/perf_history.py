@@ -153,11 +153,26 @@ def check(candidate, against, threshold, abs_floor=0.03):
     if not base_files:
         print("no stored baseline; candidate accepted")
         return 0
-    # median over the last up-to-3 stored runs, per metric
-    bases = []
-    for p in base_files[-3:]:
+    # Regression gating is only meaningful against the SAME machine
+    # class: absolute CPU-lane timings differ far more than the 25%
+    # threshold across hosts. Filter stored runs to the candidate's
+    # (platform, cpus); with no same-machine baseline, accept (the run
+    # itself still appends a baseline for future same-machine checks).
+    all_bases = []
+    for p in base_files:
         with open(p) as f:
-            bases.append(json.load(f))
+            all_bases.append(json.load(f))
+    cm = cand.get("machine", {})
+    same = [b for b in all_bases
+            if b.get("machine", {}).get("platform") == cm.get("platform")
+            and b.get("machine", {}).get("cpus") == cm.get("cpus")]
+    if not same:
+        print("no same-machine baseline "
+              f"({cm.get('platform')}, {cm.get('cpus')} cpus); "
+              "candidate accepted")
+        return 0
+    # median over the last up-to-3 same-machine runs, per metric
+    bases = same[-3:]
     failed = False
     for key, r in sorted(cand["results"].items()):
         prior = [b["results"][key]["median_s"] for b in bases
