@@ -431,6 +431,10 @@ def stream_rollout(states, sampler_rngs, n_steps: int, chunk: int = 1500,
     parse_reset_buffer with ``.feat``/``.q_cap``), where keyframe k
     applies AFTER chunk k's records. ObsReconstructor consumes both
     channels to mirror ObsData field-exactly for every env/step.
+    (A co-located DEVICE consumer needs no map keyframes: the map is
+    reset-stable and lives on device — read ``states.map_ids`` between
+    chunks, or fold a custom ``device_fn`` over the records for
+    everything that changes per step.)
     """
     from . import vec as V
     from .errors import GenerateMapFailure, MapCapacityError
