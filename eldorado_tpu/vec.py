@@ -28,9 +28,10 @@ import jax.numpy as jnp
 from .core import engine as E
 from .ops import rng as R
 
-__all__ = ["VecEnv", "vec_reset", "vec_step", "vec_sample", "rollout",
-           "rollout_chunked", "kernel_rollout", "sampler_init",
-           "reset_done", "reset_done_bucketed", "check_map_generation"]
+__all__ = ["VecEnv", "vec_reset", "vec_reset_varied", "vec_step",
+           "vec_sample", "rollout", "rollout_chunked", "kernel_rollout",
+           "sampler_init", "reset_done", "reset_done_bucketed",
+           "check_map_generation"]
 
 
 def _batch_select(pred, a, b):
@@ -75,6 +76,36 @@ def vec_reset(seed, n_envs, n_players=4, n_pieces=3, difficulty=0,
     procgen failed, mirroring the reference throw."""
     states = _vec_reset(seed, n_envs, n_players, n_pieces, difficulty,
                         max_steps)
+    return check_map_generation(states) if check_maps else states
+
+
+@jax.jit
+def _vec_reset_varied(seeds, n_players, n_pieces, difficulty, max_steps):
+    return jax.vmap(E.reset_env)(jax.vmap(E.make_state)(
+        seeds, n_players, n_pieces, difficulty, max_steps))
+
+
+def vec_reset_varied(seeds, n_players=4, n_pieces=3, difficulty=0,
+                     max_steps=100000, check_maps=True):
+    """Heterogeneous lockstep batch: PER-ENV reset parameters. Every
+    argument may be a scalar or an (n_envs,)-shaped array; env i resets
+    with its own (seed, n_players, n_pieces, difficulty, max_steps).
+    The reference's vec env is parameter-uniform (vec_cog_env::reset,
+    include/vec_environment.h:38-44); here the reset params are ordinary
+    per-env state fields — queued auto-resets already regenerate each
+    env with its own stored params — so mixed-difficulty batches (the
+    BASELINE 1024-env mixed-difficulties config) are one call, and each
+    env's trajectory is bit-identical to a uniform batch run with its
+    parameters (tests/test_api_surfaces.py)."""
+    import numpy as np
+    seeds = jnp.asarray(seeds, jnp.uint32)
+    n = seeds.shape[0]
+
+    def bcast(v):
+        return jnp.broadcast_to(jnp.asarray(v, jnp.int32), (n,))
+
+    states = _vec_reset_varied(seeds, bcast(n_players), bcast(n_pieces),
+                               bcast(difficulty), bcast(max_steps))
     return check_map_generation(states) if check_maps else states
 
 

@@ -301,3 +301,37 @@ def test_render_via_cog_env(capsys):
     env2 = cog.cog_env(seed=3, render=False)
     env2.render()
     assert "without specifying" in capsys.readouterr().out
+
+
+def test_vec_reset_varied_mixed_difficulty_batch():
+    """Per-env reset parameters in ONE lockstep batch (the BASELINE
+    mixed-difficulties config): each env's state and trajectory is
+    bit-identical to a uniform batch run with its own parameters, and
+    queued auto-resets regenerate each env with its stored params."""
+    import jax
+    import numpy as np
+
+    from eldorado_tpu import vec
+    from eldorado_tpu.core import engine as E
+
+    n = 8
+    seeds = np.arange(n, dtype=np.uint32) + 7
+    diffs = np.array([0, 1, 2, 0] * 2, np.int32)
+    pieces = np.array([1, 2, 3, 2] * 2, np.int32)
+    mixed = vec.vec_reset_varied(seeds, 4, pieces, diffs, 15)
+
+    for d, pc in {(0, 1), (1, 2), (2, 3), (0, 2)}:
+        rows = np.where((diffs == d) & (pieces == pc))[0]
+        uni = vec.vec_reset(int(seeds[rows[0]]), 1, 4, int(pc), int(d), 15)
+        for name in E.EnvState._fields:
+            a = np.asarray(getattr(mixed, name))[rows[0]]
+            b = np.asarray(getattr(uni, name))[0]
+            assert np.array_equal(a, b), (name, d, pc)
+
+    # rollout with mid-run auto-resets keeps per-env params
+    rngs = vec.sampler_init(3, n)
+    s, r, eps = vec.rollout_chunked(mixed, rngs, 120, 30, backend="kernel",
+                                    block=8, interpret=True)
+    assert eps > 0
+    assert np.array_equal(np.asarray(s.difficulty), diffs)
+    assert np.array_equal(np.asarray(s.n_pieces), pieces)
