@@ -427,6 +427,12 @@ def make_fused_reset(states, block: int = 128, interpret: bool = False):
     n = int(states.rng.shape[0])
     block = min(block, n)
     assert n % block == 0, (n, block)
+    # non-power-of-two blocks break the evaluator's batch detection in
+    # obscure ways (observed: a broadcast_in_dim with bd=(1,) at block
+    # 12); fail with a actionable message instead
+    assert block & (block - 1) == 0, (
+        f"kernel block size must be a power of two (got {block}); "
+        "pick 8/16/.../1024")
     feat = _feat_template(states)
     n_dyn = len(feat)
 
@@ -559,6 +565,12 @@ def make_fused_step(states, mask_src: str = "storage", block: int = 256,
     n = int(states.rng.shape[0])
     block = min(block, n)
     assert n % block == 0, (n, block)
+    # non-power-of-two blocks break the evaluator's batch detection in
+    # obscure ways (observed: a broadcast_in_dim with bd=(1,) at block
+    # 12); fail with a actionable message instead
+    assert block & (block - 1) == 0, (
+        f"kernel block size must be a power of two (got {block}); "
+        "pick 8/16/.../1024")
     feat = _feat_template(states)
     n_dyn = len(feat)
 
