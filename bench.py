@@ -303,7 +303,7 @@ def main():
         # on the same workload (VERDICT r4 asked the 16k gap be captured)
         try:
             sps16, _, eps16 = run_config(
-                16384, args.chunk, 3, args.players, args.pieces,
+                16384, args.chunk, 5, args.players, args.pieces,
                 args.difficulty, "kernel", min(args.block, 16384),
                 args.reset_mode)
             line["sixteenk_env_steps_per_sec"] = round(sps16, 1)

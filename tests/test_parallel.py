@@ -213,3 +213,29 @@ def test_runner_stream_rollout():
     steps_rows = np.asarray(out["carry"][0])
     assert int(steps_rows.sum()) == 80 * 32
     runner.sync()
+
+
+def test_sharded_mixed_params_matches_single_device():
+    """Heterogeneous per-env reset parameters survive the sharded path:
+    the per-shard kernel scans + queued resets on a mixed
+    (difficulty, n_pieces) batch are bit-identical to the single-device
+    kernel path, and every env keeps its own parameters through mid-run
+    auto-resets."""
+    mesh4 = M.make_mesh(4)
+    N2 = 32
+    seeds = np.arange(N2, dtype=np.uint32) + 5
+    diffs = np.array([0, 1, 2, 0] * 8, np.int32)
+    pieces = np.array([1, 2, 3, 2] * 8, np.int32)
+    states = vec.vec_reset_varied(seeds, 4, pieces, diffs, 10)
+    rngs = vec.sampler_init(11, N2)
+    ss, rs, eps = R.sharded_kernel_rollout(
+        mesh4, states, rngs, 60, chunk=10, block=8, interpret=True)
+    su, ru, eps_u = vec.rollout_chunked(
+        states, rngs, 60, chunk=10, backend="kernel", block=8,
+        interpret=True)
+    assert eps == eps_u > 0
+    for name in E.EnvState._fields:
+        assert np.array_equal(np.asarray(getattr(ss, name)),
+                              np.asarray(getattr(su, name))), name
+    assert np.array_equal(np.asarray(ss.difficulty), diffs)
+    assert np.array_equal(np.asarray(ss.n_pieces), pieces)

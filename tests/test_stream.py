@@ -200,3 +200,25 @@ def test_compressed_ring_roundtrip():
     assert np.array_equal(a, b)
     assert c1.checksum == c2.checksum
     assert c2.tunnel_bytes < a.nbytes * 0.7, (c2.tunnel_bytes, a.nbytes)
+
+
+def test_compressed_ring_exact_mode():
+    """compress=True composes with the frozen-finisher exact mode:
+    bit-exact decompressed stream, same dead count as uncompressed."""
+    import numpy as np
+
+    from eldorado_tpu import stream as S
+    from eldorado_tpu import vec
+
+    states = vec.vec_reset(5, 8, 4, 1, 0, 10)
+    rngs = vec.sampler_init(11, 8)
+    raw, comp = [], []
+    *_, c1, dead1 = S.stream_rollout(
+        states, rngs, 90, 30, block=8, interpret=True, steps_per_push=30,
+        exact=True, consume=lambda r: raw.append(r.copy()))
+    *_, c2, dead2 = S.stream_rollout(
+        states, rngs, 90, 30, block=8, interpret=True, steps_per_push=30,
+        exact=True, compress=True, consume=lambda r: comp.append(r.copy()))
+    assert dead1 == dead2 > 0
+    assert np.array_equal(np.concatenate(raw), np.concatenate(comp))
+    assert c1.checksum == c2.checksum
